@@ -1,0 +1,122 @@
+"""MsViT model tests: shapes, all attention types, RPE, param-count parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_tpu.models import ARCH_ZOO, MsViT, build_model
+from vil_tpu.config import get_default_cfg
+
+TINY_ARCH = (
+    "l1,h1,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s1,g1,p2,f2_l3,h2,d32,n1,s0,g0,p2,f2"
+)
+
+
+def _n_params(variables):
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+
+
+@pytest.mark.parametrize(
+    "attn_type", ["longformerhand", "full", "linformer", "srformer", "performer"]
+)
+def test_forward_all_attention_types(attn_type):
+    model = MsViT(
+        arch=TINY_ARCH, img_size=32, num_classes=10, attn_type=attn_type,
+        sharew=True, drop_path_rate=0.1,
+    )
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 10)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # train mode: dropout/droppath rngs
+    out_t = model.apply(
+        variables, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert out_t.shape == (2, 10)
+
+
+def test_rpe_variant():
+    arch = TINY_ARCH.replace("f2", "f2,a0")  # rpe = not ape
+    model = MsViT(arch=arch, img_size=32, num_classes=10, attn_type="longformerhand")
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(str(k.key) for k in path) for path, _ in flat]
+    assert any("local_relative_position_bias_table" in n for n in names)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 10)
+
+
+def test_vil_mode_variants():
+    model = MsViT(arch=TINY_ARCH, img_size=32, num_classes=10,
+                  attn_type="longformerhand")
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out0 = model.apply(variables, x, mode=0)
+    outm1 = model.apply(variables, x, mode=-1)
+    out3 = model.apply(variables, x, mode=3)
+    assert out0.shape == outm1.shape == out3.shape == (2, 10)
+    # traced mode equals static mode
+    out3t = jax.jit(lambda v, x, m: model.apply(v, x, mode=m))(
+        variables, x, jnp.int32(3)
+    )
+    np.testing.assert_allclose(np.asarray(out3t), np.asarray(out3), atol=2e-5)
+
+
+def test_only_global():
+    model = MsViT(arch=TINY_ARCH.replace("g0", "g2"), img_size=32, num_classes=10,
+                  attn_type="longformerhand", only_glo=True, avg_pool=True)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    assert model.apply(variables, x).shape == (2, 10)
+
+
+def test_grad_flows():
+    model = MsViT(arch=TINY_ARCH, img_size=32, num_classes=10,
+                  attn_type="longformerhand")
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x)
+        return jnp.sum(out**2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+    # patch-embed conv grad must be nonzero (end-to-end connectivity)
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0
+
+
+@pytest.mark.parametrize(
+    "name,expected_m",
+    [("vil_tiny", 6.7), ("vil_small", 24.6)],
+)
+def test_param_count_parity(name, expected_m):
+    """Match the reference's published parameter counts (README.md:77-78)."""
+    model = MsViT(
+        arch=ARCH_ZOO[name], img_size=224, num_classes=1000,
+        attn_type="longformerhand", sharew=True, norm_embed=True,
+    )
+    x = jnp.ones((1, 224, 224, 3))
+    variables = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x)
+    )
+    n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert abs(n / 1e6 - expected_m) < 0.15, f"{name}: {n/1e6:.2f}M vs {expected_m}M"
+
+
+def test_build_model_from_cfg():
+    cfg = get_default_cfg()
+    cfg.merge_from_list(
+        ["MODEL.VIT.MSVIT.ARCH", TINY_ARCH, "INPUT.IMAGE_SIZE", "32",
+         "DATA.NUM_CLASSES", "10", "TPU.COMPUTE_DTYPE", "float32"]
+    )
+    model = build_model(cfg)
+    assert model.num_classes == 10
+    x = jnp.ones((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    assert model.apply(variables, x).shape == (1, 10)

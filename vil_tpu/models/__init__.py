@@ -1,0 +1,68 @@
+"""Model registry (reference /root/reference/src/models/__init__.py:9-59).
+
+The reference also exposed the torchvision ResNet zoo; this framework keeps
+the registry hook (``MODEL_REGISTRY``) but ships only the MsViT family — the
+torchvision zoo was an unused convenience for the reference's experiments.
+"""
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+
+from .arch import ARCH_ZOO, StageCfg, parse_arch
+from .msvit import MsViT
+
+MODEL_REGISTRY = {
+    "msvit": MsViT,
+}
+
+
+def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
+    """Construct the model from a config tree (cfg → kwargs mapping mirrors
+    reference models/__init__.py:37-52)."""
+    name = cfg.MODEL.ARCH
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unimplemented model architecture: {name}")
+    if dtype is None:
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    if param_dtype is None:
+        param_dtype = (
+            jnp.bfloat16 if cfg.TPU.PARAM_DTYPE == "bfloat16" else jnp.float32
+        )
+    if use_pallas is None:
+        use_pallas = bool(cfg.TPU.USE_PALLAS)
+    args = dict(
+        img_size=cfg.INPUT.IMAGE_SIZE,
+        drop_rate=cfg.MODEL.VIT.DROP,
+        drop_path_rate=cfg.MODEL.VIT.DROP_PATH,
+        norm_embed=cfg.MODEL.VIT.NORM_EMBED,
+        avg_pool=cfg.MODEL.VIT.AVG_POOL,
+    )
+    if name.startswith("msvit"):
+        args["arch"] = cfg.MODEL.VIT.MSVIT.ARCH
+        args["sharew"] = cfg.MODEL.VIT.MSVIT.SHARE_W
+        args["attn_type"] = cfg.MODEL.VIT.MSVIT.ATTN_TYPE
+        args["share_kv"] = cfg.MODEL.VIT.MSVIT.SHARE_KV
+        args["only_glo"] = cfg.MODEL.VIT.MSVIT.ONLY_GLOBAL
+        args["sw_exact"] = cfg.MODEL.VIT.MSVIT.SW_EXACT
+        args["ln_eps"] = cfg.MODEL.VIT.MSVIT.LN_EPS
+        args["mode"] = cfg.MODEL.VIT.MSVIT.MODE
+    logging.info("=> creating model '%s'", name)
+    return MODEL_REGISTRY[name](
+        num_classes=cfg.DATA.NUM_CLASSES,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        use_pallas=use_pallas,
+        **args,
+    )
+
+
+__all__ = [
+    "ARCH_ZOO",
+    "MODEL_REGISTRY",
+    "MsViT",
+    "StageCfg",
+    "build_model",
+    "parse_arch",
+]

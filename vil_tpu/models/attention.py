@@ -1,0 +1,369 @@
+"""Attention modules for MsViT.
+
+* ``FullAttention``   — dense MHSA with optional joint global+local relative
+  position bias (reference /root/reference/src/models/msvit.py:37-120).
+* ``VilAttention``    — 2-D sliding-chunk local attention with global tokens,
+  Swin-style RPE, three masking variants, only-global mode, and
+  random-shift neighbor sampling (reference
+  /root/reference/src/models/layers/longformer2d.py:12-229).
+
+Numerics parity: q scaled by head_dim**-0.5, max-subtracted softmax, masks as
+-inf fills. TPU-first: softmax and score accumulation in float32 regardless
+of the bf16 compute dtype; static mask/RPE tables baked in at trace time;
+the random-shift mode is a traced scalar so one compilation serves all 8
+sampled blocks (no per-mode recompiles).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import masks as masks_lib
+from ..ops import rpe as rpe_lib
+from ..ops import sliding_chunk as sc
+from .layers import trunc_normal_init
+
+Mode = Union[int, jax.Array]
+
+
+def _split_heads(t: jax.Array, num_heads: int) -> jax.Array:
+    """(B, N, C) → (B, H, N, M)."""
+    b, n, c = t.shape
+    return t.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(t: jax.Array) -> jax.Array:
+    """(B, H, N, M) → (B, N, C)."""
+    b, h, n, m = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b, n, h * m)
+
+
+def _softmax_max_sub(scores: jax.Array, axis: int = -1) -> jax.Array:
+    """Max-subtracted softmax in float32 (reference longformer2d.py:185,223)."""
+    scores = scores.astype(jnp.float32)
+    scores = scores - jax.lax.stop_gradient(scores.max(axis=axis, keepdims=True))
+    return jax.nn.softmax(scores, axis=axis)
+
+
+class FullAttention(nn.Module):
+    """Dense multi-head self-attention (msvit.py:37-120)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    rpe: bool = False
+    wx: int = 14
+    wy: int = 14
+    nglo: int = 1
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, nx: int, ny: int, deterministic: bool, mode: Mode = 0
+    ) -> jax.Array:
+        B, N, C = x.shape
+        H = self.num_heads
+        M = C // H
+        scale = M ** -0.5
+
+        qkv = nn.Dense(
+            3 * self.dim,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=trunc_normal_init,
+            name="qkv",
+        )(x)
+        q, k, v = (
+            _split_heads(t, H) for t in jnp.split(qkv, 3, axis=-1)
+        )
+
+        attn = jnp.einsum(
+            "bhnm,bhtm->bhnt", q, k, preferred_element_type=jnp.float32
+        ) * scale
+
+        if self.rpe:
+            assert N == self.nglo + self.wx * self.wy, (
+                "For relative position, N != nglo + wx*wy"
+            )
+            table = self.param(
+                "local_relative_position_bias_table",
+                trunc_normal_init,
+                ((2 * self.wx - 1) * (2 * self.wy - 1), H),
+                self.param_dtype,
+            )
+            idx = jnp.asarray(rpe_lib.full_rpe_index(self.wx, self.wy))
+            local_bias = table[idx.reshape(-1)].reshape(
+                self.wx * self.wy, self.wx * self.wy, H
+            ).transpose(2, 0, 1)  # (H, Nloc, Nloc)
+            if self.nglo > 0:
+                g2l = self.param(
+                    "g2l_relative_position_bias",
+                    trunc_normal_init,
+                    (2, H, self.nglo),
+                    self.param_dtype,
+                )
+                g2g = self.param(
+                    "g2g_relative_position_bias",
+                    trunc_normal_init,
+                    (H, self.nglo, self.nglo),
+                    self.param_dtype,
+                )
+                nloc = self.wx * self.wy
+                # rows for global queries: [g2g ‖ g2l[0]·1_Nloc]
+                glo_rows = jnp.concatenate(
+                    [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, self.nglo, nloc))],
+                    axis=-1,
+                )
+                # rows for local queries: [g2l[1]·1_Nloc ‖ local]
+                loc_rows = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(g2l[1][:, None, :], (H, nloc, self.nglo)),
+                        local_bias,
+                    ],
+                    axis=-1,
+                )
+                bias = jnp.concatenate([glo_rows, loc_rows], axis=1)  # (H, N, N)
+            else:
+                bias = local_bias
+            attn = attn + bias[None].astype(attn.dtype)
+
+        probs = _softmax_max_sub(attn)
+        probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhnt,bhtm->bhnm",
+            probs.astype(self.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = _merge_heads(out)
+        out = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=trunc_normal_init,
+            name="proj",
+        )(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class VilAttention(nn.Module):
+    """2-D sliding-chunk self-attention with global tokens (longformer2d.py).
+
+    ``mode`` semantics (longformer2d.py:113-124, slidingchunk_2d.py:15-24):
+    0 = all 8 neighbor blocks, -1 = self block only, 1..8 = self + one block
+    (traced array allowed: the random-shift training path samples the block
+    on device each step). ``use_pallas`` switches the local attention core to
+    the fused Pallas kernel when supported (mode 0/-1, no attention dropout).
+    """
+
+    dim: int
+    num_heads: int
+    w: int = 7
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    nglo: int = 1
+    sharew: bool = True
+    only_glo: bool = False
+    exact: int = 0
+    rpe: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, nx: int, ny: int, deterministic: bool, mode: Mode = 0
+    ) -> jax.Array:
+        B, N, C = x.shape
+        H, W = self.num_heads, self.w
+        M = C // H
+        W2 = W * W
+        Nglo = self.nglo
+        Nloc = nx * ny
+        assert Nglo + Nloc == N, "Global dimension does not match!"
+        if self.only_glo:
+            assert Nglo >= 1, "Nglo == 0 in the only global mode!"
+        scale = M ** -0.5
+        traced_mode = not isinstance(mode, (int, np.integer))
+
+        # RPE parameter tables, declared once (used by both the local and the
+        # global attention branches)
+        if self.rpe:
+            rpe_table = self.param(
+                "local_relative_position_bias_table",
+                trunc_normal_init,
+                ((4 * W - 1) * (4 * W - 1), H),
+                self.param_dtype,
+            )
+            if Nglo >= 1:
+                g2l = self.param(
+                    "g2l_relative_position_bias",
+                    trunc_normal_init,
+                    (2, H, Nglo),
+                    self.param_dtype,
+                )
+                g2g = self.param(
+                    "g2g_relative_position_bias",
+                    trunc_normal_init,
+                    (H, Nglo, Nglo),
+                    self.param_dtype,
+                )
+
+        dense = lambda feat, name: nn.Dense(
+            feat,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=trunc_normal_init,
+            name=name,
+        )
+        query = dense(self.dim, "query")
+        kv = dense(2 * self.dim, "kv")
+        proj = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=trunc_normal_init,
+            name="proj",
+        )
+
+        # local attention: queries are local tokens, keys/values all tokens
+        q = _split_heads(query(x[:, Nglo:]), H) * scale  # (B, H, Nloc, M)
+        k, v = (
+            _split_heads(t, H) for t in jnp.split(kv(x), 2, axis=-1)
+        )  # (B, H, N, M)
+        k_glo, v_glo = k[:, :, :Nglo], v[:, :, :Nglo]
+
+        if self.only_glo:
+            # NOTE: the reference adds no RPE bias on the only-global path
+            # (longformer2d.py:130-132 bypasses the rpe block at :159).
+            attn1 = jnp.einsum(
+                "bhnm,bhtm->bhnt", q, k_glo, preferred_element_type=jnp.float32
+            )
+            probs = _softmax_max_sub(attn1)
+            probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+            x1 = jnp.einsum(
+                "bhnt,bhtm->bhnm",
+                probs.astype(self.dtype),
+                v_glo,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        else:
+            padx, pady, mx, my = sc.chunk_grid(nx, ny, W)
+            chunk = lambda t: sc.chunkify(
+                t.reshape(B * H, Nloc, M), nx, ny, W
+            ).reshape(B, H, mx, my, W2, M)
+            q_img = chunk(q)
+            k_img = chunk(k[:, :, Nglo:])
+            v_img = chunk(v[:, :, Nglo:])
+
+            # local→global scores: (B, H, mx, my, W², Nglo)
+            attn10 = jnp.einsum(
+                "bhmnlc,bhtc->bhmnlt", q_img, k_glo,
+                preferred_element_type=jnp.float32,
+            )
+            # local→local scores via sliding chunks
+            flat = lambda t: t.reshape(B * H, mx, my, W2, -1)
+            attn11 = sc.sliding_chunk_qk(flat(q_img), flat(k_img), mode)
+            kv_span = attn11.shape[-1]
+            attn11 = attn11.reshape(B, H, mx, my, W2, kv_span)
+
+            if self.rpe:
+                table = rpe_table
+                if Nglo >= 1:
+                    attn10 = attn10 + g2l[1][None, :, None, None, None, :]
+                if traced_mode:
+                    idx = jnp.asarray(rpe_lib.all_mode_rpe_indices(W))[mode - 1]
+                else:
+                    idx = jnp.asarray(
+                        rpe_lib.sliding_chunk_rpe_index_mode(W, int(mode))
+                    )
+                local_bias = table[idx.reshape(-1)].reshape(W2, kv_span, H)
+                local_bias = local_bias.transpose(2, 0, 1)  # (H, W², kv)
+                attn11 = attn11 + local_bias[None, :, None, None, :, :]
+
+            # validity mask (static tables; per-mode stack for traced mode)
+            if traced_mode:
+                mask = jnp.asarray(
+                    masks_lib.all_mode_masks(mx, my, padx, pady, W, self.exact)
+                )[mode - 1].reshape(1, 1, mx, my, 1, kv_span)
+            else:
+                mask_np = masks_lib.invalid_mask(
+                    mx, my, padx, pady, W, self.exact, int(mode)
+                )
+                if mask_np.ndim == 2:
+                    mask = jnp.asarray(mask_np).reshape(1, 1, mx, my, 1, kv_span)
+                else:  # exact variant: per-query-pixel mask
+                    mask = jnp.asarray(mask_np).reshape(1, 1, mx, my, W2, kv_span)
+            attn11 = jnp.where(mask, -jnp.inf, attn11)
+
+            # joint softmax over [global keys ‖ local keys]
+            attn1 = jnp.concatenate([attn10, attn11], axis=-1)
+            probs = _softmax_max_sub(attn1)
+            probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+            probs = probs.astype(self.dtype)
+            probs_glo, probs_loc = probs[..., :Nglo], probs[..., Nglo:]
+
+            x1 = sc.sliding_chunk_av(
+                probs_loc.reshape(B * H, mx, my, W2, kv_span), flat(v_img), mode
+            ).reshape(B, H, mx, my, W2, M)
+            if Nglo >= 1:
+                x1 = x1 + jnp.einsum(
+                    "bhmnlt,bhtc->bhmnlc", probs_glo, v_glo,
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+            x1 = sc.unchunkify(
+                x1.reshape(B * H, mx, my, W2, M), nx, ny, W
+            ).reshape(B, H, Nloc, M)
+
+        x1 = _merge_heads(x1.astype(self.dtype))
+        x1 = proj(x1)
+
+        if Nglo == 0:
+            return nn.Dropout(self.proj_drop)(x1, deterministic=deterministic)
+
+        # global branch: vanilla dense attention over all tokens
+        # (longformer2d.py:209-227)
+        if self.sharew:
+            query_g, kv_g, proj_g = query, kv, proj
+        else:
+            query_g = dense(self.dim, "query_global")
+            kv_g = dense(2 * self.dim, "kv_global")
+            proj_g = nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=trunc_normal_init,
+                name="proj_global",
+            )
+        qg = _split_heads(query_g(x[:, :Nglo]), H) * scale
+        kg, vg = (_split_heads(t, H) for t in jnp.split(kv_g(x), 2, axis=-1))
+        attn0 = jnp.einsum(
+            "bhnm,bhtm->bhnt", qg, kg, preferred_element_type=jnp.float32
+        )
+        if self.rpe:
+            bias = jnp.concatenate(
+                [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, Nglo, Nloc))], axis=-1
+            )
+            attn0 = attn0 + bias[None]
+        probs0 = _softmax_max_sub(attn0)
+        probs0 = nn.Dropout(self.attn_drop)(probs0, deterministic=deterministic)
+        x0 = jnp.einsum(
+            "bhnt,bhtm->bhnm",
+            probs0.astype(self.dtype),
+            vg,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        x0 = proj_g(_merge_heads(x0))
+
+        out = jnp.concatenate([x0, x1], axis=1)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

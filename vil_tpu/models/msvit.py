@@ -1,0 +1,345 @@
+"""MsViT: multi-stage vision transformer with pluggable attention.
+
+TPU-native rebuild of the reference model (/root/reference/src/models/msvit.py:343-548):
+ResNet-style stage stacking, per-stage conv patch embedding with factorized
+absolute position embedding and global tokens, pre-LN attention + MLP blocks
+with stochastic-depth residuals, and an ARCH-string DSL selecting heads/dims/
+blocks/attention per stage.
+
+Differences by design (TPU-first, not a port):
+* NHWC image layout, bf16 compute / f32 params.
+* Stochastic depth, dropout, and the random-shift attention mode are
+  functional: RNGs and the mode index are threaded through ``__call__``.
+* The performer's projection redraw and the VIL mode switch are train-loop
+  concerns (functional state), not module mutation.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .arch import StageCfg, parse_arch
+from .attention import FullAttention, VilAttention
+from .attention_efficient import (
+    LinformerAttention,
+    PerformerAttention,
+    SRAttention,
+)
+from .layers import DropPath, Mlp, PatchEmbed, trunc_normal_init
+
+Mode = Union[int, jax.Array]
+
+
+class AttnBlock(nn.Module):
+    """Pre-LN attention block with DropPath residual (msvit.py:245-316)."""
+
+    dim: int
+    num_heads: int
+    attn_type: str
+    seq_len: int
+    nglo: int = 1
+    w: int = 7
+    num_feats: int = 256
+    rratio: int = 2
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    sharew: bool = True
+    only_glo: bool = False
+    share_kv: bool = True
+    sw_exact: int = 0
+    rpe: bool = False
+    wx: int = 14
+    wy: int = 14
+    ln_eps: float = 1e-6
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        self.norm = nn.LayerNorm(
+            epsilon=self.ln_eps, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        common = dict(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if self.attn_type == "full":
+            self.attn = FullAttention(
+                rpe=self.rpe, wx=self.wx, wy=self.wy, nglo=self.nglo, **common
+            )
+        elif self.attn_type in ("longformerhand", "longformerauto"):
+            # hand/auto differed only in torch-autograd strategy; in JAX the
+            # backward is autodiff either way, so both names map here.
+            self.attn = VilAttention(
+                w=self.w,
+                nglo=self.nglo,
+                sharew=self.sharew,
+                only_glo=self.only_glo,
+                exact=self.sw_exact,
+                rpe=self.rpe,
+                use_pallas=self.use_pallas,
+                **common,
+            )
+        elif self.attn_type == "linformer":
+            self.attn = LinformerAttention(
+                seq_len=self.seq_len,
+                num_feats=self.num_feats,
+                share_kv=self.share_kv,
+                **common,
+            )
+        elif self.attn_type == "srformer":
+            self.attn = SRAttention(rratio=self.rratio, **common)
+        elif self.attn_type == "performer":
+            self.attn = PerformerAttention(nb_features=self.num_feats, **common)
+        else:
+            raise ValueError(f"Not supported attention type {self.attn_type}")
+        self.droppath = DropPath(self.drop_path)
+
+    def __call__(
+        self, x: jax.Array, nx: int, ny: int, deterministic: bool, mode: Mode = 0
+    ) -> jax.Array:
+        y = self.attn(self.norm(x), nx, ny, deterministic, mode)
+        return x + self.droppath(y, deterministic)
+
+
+class MlpBlock(nn.Module):
+    """Pre-LN MLP block with DropPath residual (msvit.py:319-340)."""
+
+    dim: int
+    out_dim: Optional[int] = None
+    mlp_ratio: float = 4.0
+    drop: float = 0.0
+    drop_path: float = 0.0
+    ln_eps: float = 1e-6
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        out_dim = self.out_dim or self.dim
+        y = nn.LayerNorm(
+            epsilon=self.ln_eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="norm",
+        )(x)
+        y = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio),
+            out_features=out_dim,
+            drop=self.drop,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="mlp",
+        )(y, deterministic)
+        y = DropPath(self.drop_path, name="droppath")(y, deterministic)
+        if out_dim != self.dim:
+            shortcut = nn.Dense(
+                out_dim,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=trunc_normal_init,
+                name="shortcut",
+            )(x)
+            shortcut = nn.Dropout(self.drop)(shortcut, deterministic=deterministic)
+            return shortcut + y
+        return x + y
+
+
+class MsViT(nn.Module):
+    """Multi-stage ViT (msvit.py:343-548). Input NHWC images."""
+
+    arch: str
+    img_size: int = 512
+    in_chans: int = 3
+    num_classes: int = 1000
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    norm_embed: bool = False
+    w: int = 7
+    sharew: bool = False
+    only_glo: bool = False
+    share_kv: bool = False
+    attn_type: str = "longformerhand"
+    sw_exact: int = 0
+    mode: int = 0
+    ln_eps: float = 1e-6
+    avg_pool: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @property
+    def layer_cfgs(self) -> list[StageCfg]:
+        return parse_arch(self.arch)
+
+    @property
+    def nglos(self) -> list[int]:
+        return [c.nglo for c in self.layer_cfgs]
+
+    @property
+    def depth(self) -> int:
+        return sum(c.num_blocks for c in self.layer_cfgs)
+
+    @property
+    def out_planes(self) -> int:
+        return self.layer_cfgs[-1].dim
+
+    def grid_sizes(self) -> list[tuple[int, int]]:
+        """Static (nx, ny) token grid per stage."""
+        sizes = []
+        nx = ny = self.img_size
+        for c in self.layer_cfgs:
+            nx //= c.patch_size
+            ny //= c.patch_size
+            sizes.append((nx, ny))
+        return sizes
+
+    def setup(self):
+        cfgs = self.layer_cfgs
+        grids = self.grid_sizes()
+        # stochastic depth decay rule (msvit.py:419-421)
+        dprs = np.linspace(0, self.drop_path_rate, self.depth)
+        patch_embeds = []
+        stage_blocks = []
+        i_block = 0
+        for sid, (c, (nx, ny)) in enumerate(zip(cfgs, grids)):
+            patch_embeds.append(
+                PatchEmbed(
+                    patch_size=c.patch_size,
+                    nx=nx,
+                    ny=ny,
+                    embed_dim=c.dim,
+                    nglo=c.nglo,
+                    norm_embed=self.norm_embed,
+                    ape=bool(c.ape),
+                    drop_rate=self.drop_rate,
+                    ln_eps=self.ln_eps,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"stage{sid + 1}_patch_embed",
+                )
+            )
+            attn_type = self.attn_type if c.is_sparse_attn else "full"
+            blocks = []
+            for bid in range(c.num_blocks):
+                dpr = float(dprs[i_block])
+                i_block += 1
+                blocks.append(
+                    (
+                        AttnBlock(
+                            dim=c.dim,
+                            num_heads=c.num_heads,
+                            attn_type=attn_type,
+                            seq_len=nx * ny + c.nglo,
+                            nglo=c.nglo,
+                            w=c.num_feats,  # longformer window (msvit.py:459)
+                            num_feats=c.num_feats,
+                            rratio=c.num_feats,  # srformer reuse (msvit.py:458)
+                            qkv_bias=self.qkv_bias,
+                            drop=self.drop_rate,
+                            attn_drop=self.attn_drop_rate,
+                            drop_path=dpr,
+                            sharew=self.sharew,
+                            only_glo=self.only_glo,
+                            share_kv=self.share_kv,
+                            sw_exact=self.sw_exact,
+                            rpe=c.rpe,
+                            wx=nx,
+                            wy=ny,
+                            ln_eps=self.ln_eps,
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            use_pallas=self.use_pallas,
+                            name=f"stage{sid + 1}_block{bid}_attn",
+                        ),
+                        MlpBlock(
+                            dim=c.dim,
+                            drop=self.drop_rate,
+                            drop_path=dpr,
+                            ln_eps=self.ln_eps,
+                            dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name=f"stage{sid + 1}_block{bid}_mlp",
+                        ),
+                    )
+                )
+            stage_blocks.append(blocks)
+        self.patch_embeds = patch_embeds
+        self.stage_blocks = stage_blocks
+        self.final_norm = nn.LayerNorm(
+            epsilon=self.ln_eps,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="norm",
+        )
+        self.head = (
+            nn.Dense(
+                self.num_classes,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=trunc_normal_init,
+                name="head",
+            )
+            if self.num_classes > 0
+            else None
+        )
+
+    def forward_features(
+        self, x: jax.Array, deterministic: bool, mode: Mode
+    ) -> jax.Array:
+        B = x.shape[0]
+        grids = self.grid_sizes()
+        nglos = self.nglos
+        for sid, (pe, blocks) in enumerate(zip(self.patch_embeds, self.stage_blocks)):
+            nx, ny = grids[sid]
+            if sid > 0:
+                # strip global tokens, tokens → image grid (msvit.py:500-507)
+                prev_nx, prev_ny = grids[sid - 1]
+                x = x[:, nglos[sid - 1]:].reshape(B, prev_nx, prev_ny, -1)
+            x = pe(x, deterministic)
+            for attn_block, mlp_block in blocks:
+                x = attn_block(x, nx, ny, deterministic, mode)
+                x = mlp_block(x, deterministic)
+        x = self.final_norm(x)
+        if nglos[-1] > 0 and not self.avg_pool:
+            return x[:, 0]
+        return jnp.mean(x, axis=1)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        *,
+        deterministic: bool = True,
+        mode: Mode = 0,
+    ) -> jax.Array:
+        """x: (B, H, W, C) NHWC images → (B, num_classes) logits."""
+        feats = self.forward_features(x, deterministic, mode)
+        if self.head is None:
+            return feats
+        return self.head(feats)
+
+
+# parameter-path substrings excluded from weight decay, matched against the
+# '/'-joined flax param path (reference no_weight_decay set msvit.py:486-492
+# + substring grouping optim/__init__.py:21-40). LayerNorm modules here are
+# named *norm*, so 'norm' covers norm/norm_embed/final-norm scale+bias.
+NO_WEIGHT_DECAY_SUBSTRINGS = (
+    "pos_embed",
+    "cls_token",
+    "norm",
+    "relative_position",
+    "head/bias",
+)
