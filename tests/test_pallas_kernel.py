@@ -1,0 +1,177 @@
+"""Fused Pallas sliding-chunk kernel vs the XLA tier and the dense oracle.
+
+Runs the kernel in interpreter mode on CPU (the driver benches the compiled
+kernel on real TPU hardware).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_tpu.ops import masks as masks_lib
+from vil_tpu.ops import rpe as rpe_lib
+from vil_tpu.ops import sliding_chunk as sc
+from vil_tpu.ops.pallas import vil_kernel
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setattr(vil_kernel, "INTERPRET", True)
+
+
+def _random_inputs(key, BH, mx, my, w, M, nglo, with_bias, H=2):
+    w2 = w * w
+    ks = jax.random.split(key, 6)
+    q = jax.random.normal(ks[0], (BH, mx, my, w2, M))
+    k = jax.random.normal(ks[1], (BH, mx, my, w2, M))
+    v = jax.random.normal(ks[2], (BH, mx, my, w2, M))
+    k_glo = jax.random.normal(ks[3], (BH, nglo, M)) if nglo else None
+    v_glo = jax.random.normal(ks[4], (BH, nglo, M)) if nglo else None
+    bias = (
+        jax.random.normal(ks[5], (H, w2, nglo + 9 * w2)) * 0.5 if with_bias else None
+    )
+    return q, k, v, k_glo, v_glo, bias
+
+
+@pytest.mark.parametrize("nglo,with_bias", [(1, True), (0, False), (2, False), (1, False)])
+@pytest.mark.parametrize("exact", [0, -1])
+def test_pallas_matches_xla(nglo, with_bias, exact):
+    BH, mx, my, w, M = 4, 3, 3, 3, 8
+    w2 = w * w
+    padx, pady = 1, 2
+    mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, w, exact, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(0), BH, mx, my, w, M, nglo, with_bias
+    )
+    out_pallas = vil_kernel._pallas_forward(
+        q, k, v, k_glo, v_glo, bias, mask_add, interpret=True
+    )
+    out_xla = vil_kernel._xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_pallas_matches_xla_exact_mask():
+    BH, mx, my, w, M, nglo = 2, 2, 3, 3, 8, 1
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 0, w, 1, 0)  # exact: per-pixel
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    assert mask_add.shape[2] == w2
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(1), BH, mx, my, w, M, nglo, True
+    )
+    out_pallas = vil_kernel._pallas_forward(
+        q, k, v, k_glo, v_glo, bias, mask_add, interpret=True
+    )
+    out_xla = vil_kernel._xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_custom_vjp_grads_match_xla():
+    BH, mx, my, w, M, nglo = 2, 3, 3, 2, 4, 1
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 1, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(2), BH, mx, my, w, M, nglo, True
+    )
+    fused = vil_kernel.make_fused_vil_attention(mask_add, use_pallas=True)
+
+    def loss_fused(*args):
+        return jnp.sum(fused(*args) ** 2)
+
+    def loss_xla(*args):
+        return jnp.sum(vil_kernel._xla_reference(*args, mask_add) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, k_glo, v_glo, bias)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, k_glo, v_glo, bias)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_matches_dense_reference_end_to_end():
+    """Pallas path vs brute-force dense attention on the full local+global
+    pipeline (mirrors the reference test_cuda_kernel.py strategy)."""
+    B, H, nglo, w, M = 1, 2, 1, 3, 4
+    nx = ny = 6  # 2x2 chunks, no padding
+    w2 = w * w
+    padx, pady, mx, my = sc.chunk_grid(nx, ny, w)
+    BH = B * H
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    q_tok = jax.random.normal(ks[0], (BH, nx * ny, M))
+    k_tok = jax.random.normal(ks[1], (BH, nx * ny, M))
+    v_tok = jax.random.normal(ks[2], (BH, nx * ny, M))
+    k_glo = jax.random.normal(ks[3], (BH, nglo, M))
+    v_glo = jax.random.normal(ks[4], (BH, nglo, M))
+
+    mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    qc, kc, vc = (sc.chunkify(t, nx, ny, w) for t in (q_tok, k_tok, v_tok))
+    out = vil_kernel._pallas_forward(
+        qc, kc, vc, k_glo, v_glo, None, mask_add, interpret=True
+    )
+    out = sc.unchunkify(out, nx, ny, w)
+
+    # dense oracle over [global ‖ local] keys with the blockwise mask
+    # scattered into token space
+    allowed = np.zeros((nx * ny, nx * ny), dtype=bool)
+    for ci in range(mx * my):
+        cqx, cqy = ci // my, ci % my
+        for j in range(9 * w2):
+            if mask_bool[ci, j]:
+                continue
+            kcx = (cqx + (j // w2) // 3 - 1) % mx
+            kcy = (cqy + (j // w2) % 3 - 1) % my
+            kx = kcx * w + (j % w2) // w
+            ky = kcy * w + (j % w2) % w
+            for l in range(w2):
+                qx, qy = cqx * w + l // w, cqy * w + l % w
+                allowed[qx * ny + qy, kx * ny + ky] = True
+    scores_loc = jnp.einsum("bnc,btc->bnt", q_tok, k_tok)
+    scores_loc = jnp.where(jnp.asarray(allowed)[None], scores_loc, -jnp.inf)
+    scores_glo = jnp.einsum("bnc,btc->bnt", q_tok, k_glo)
+    scores = jnp.concatenate([scores_glo, scores_loc], axis=-1)
+    probs = jax.nn.softmax(scores - scores.max(-1, keepdims=True), axis=-1)
+    dense = jnp.einsum(
+        "bnt,btc->bnc", probs, jnp.concatenate([v_glo, v_tok], axis=1)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), atol=1e-5)
+
+
+@pytest.mark.parametrize("rpe,nglo", [(False, 1), (True, 1), (False, 0)])
+def test_vil_attention_module_fused_matches_xla(rpe, nglo):
+    """VilAttention(use_pallas=True) must equal the XLA-tier module output,
+    forward and gradient."""
+    from vil_tpu.models.attention import VilAttention
+
+    nx = ny = 8
+    w = 3
+    dim, heads = 16, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, nglo + nx * ny, dim))
+
+    def make(use_pallas):
+        return VilAttention(
+            dim=dim, num_heads=heads, w=w, nglo=nglo, rpe=rpe, sharew=True,
+            use_pallas=use_pallas,
+        )
+
+    ref_mod = make(False)
+    variables = ref_mod.init({"params": jax.random.PRNGKey(1)}, x, nx, ny, True)
+    out_ref = ref_mod.apply(variables, x, nx, ny, True)
+    out_fused = make(True).apply(variables, x, nx, ny, True)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_ref), atol=1e-5, rtol=1e-5
+    )
+
+    def loss(mod, params):
+        return jnp.sum(mod.apply({"params": params}, x, nx, ny, True) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(ref_mod, p))(variables["params"])
+    g_fused = jax.grad(lambda p: loss(make(True), p))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)

@@ -25,6 +25,7 @@ from flax import linen as nn
 from ..ops import masks as masks_lib
 from ..ops import rpe as rpe_lib
 from ..ops import sliding_chunk as sc
+from ..ops.pallas import vil_kernel
 from .layers import trunc_normal_init
 
 Mode = Union[int, jax.Array]
@@ -266,64 +267,103 @@ class VilAttention(nn.Module):
             k_img = chunk(k[:, :, Nglo:])
             v_img = chunk(v[:, :, Nglo:])
 
-            # local→global scores: (B, H, mx, my, W², Nglo)
-            attn10 = jnp.einsum(
-                "bhmnlc,bhtc->bhmnlt", q_img, k_glo,
-                preferred_element_type=jnp.float32,
+            # Fused Pallas path: full-neighborhood mode, no attention dropout
+            # (all reference configs train with attn_drop=0). Falls back to
+            # the XLA tier otherwise.
+            attn_drop_active = self.attn_drop > 0.0 and not deterministic
+            use_fused = (
+                self.use_pallas
+                and not traced_mode
+                and int(mode) == 0
+                and not attn_drop_active
+                and (jax.default_backend() == "tpu" or vil_kernel.INTERPRET)
             )
-            # local→local scores via sliding chunks
-            flat = lambda t: t.reshape(B * H, mx, my, W2, -1)
-            attn11 = sc.sliding_chunk_qk(flat(q_img), flat(k_img), mode)
-            kv_span = attn11.shape[-1]
-            attn11 = attn11.reshape(B, H, mx, my, W2, kv_span)
-
-            if self.rpe:
-                table = rpe_table
-                if Nglo >= 1:
-                    attn10 = attn10 + g2l[1][None, :, None, None, None, :]
-                if traced_mode:
-                    idx = jnp.asarray(rpe_lib.all_mode_rpe_indices(W))[mode - 1]
-                else:
-                    idx = jnp.asarray(
-                        rpe_lib.sliding_chunk_rpe_index_mode(W, int(mode))
-                    )
-                local_bias = table[idx.reshape(-1)].reshape(W2, kv_span, H)
-                local_bias = local_bias.transpose(2, 0, 1)  # (H, W², kv)
-                attn11 = attn11 + local_bias[None, :, None, None, :, :]
-
-            # validity mask (static tables; per-mode stack for traced mode)
-            if traced_mode:
-                mask = jnp.asarray(
-                    masks_lib.all_mode_masks(mx, my, padx, pady, W, self.exact)
-                )[mode - 1].reshape(1, 1, mx, my, 1, kv_span)
-            else:
-                mask_np = masks_lib.invalid_mask(
-                    mx, my, padx, pady, W, self.exact, int(mode)
+            if use_fused:
+                mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, W, self.exact, 0)
+                mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, W2, Nglo)
+                bias_full = None
+                if self.rpe:
+                    idx = jnp.asarray(rpe_lib.sliding_chunk_rpe_index(W))
+                    local_bias = rpe_table[idx.reshape(-1)].reshape(W2, 9 * W2, H)
+                    local_bias = local_bias.transpose(2, 0, 1)  # (H, W², 9W²)
+                    if Nglo >= 1:
+                        g2l_cols = jnp.broadcast_to(
+                            g2l[1][:, None, :], (H, W2, Nglo)
+                        )
+                        bias_full = jnp.concatenate([g2l_cols, local_bias], axis=-1)
+                    else:
+                        bias_full = local_bias
+                    bias_full = bias_full.astype(jnp.float32)
+                fused = vil_kernel.make_fused_vil_attention(mask_add)
+                bhview = lambda t: t.reshape(B * H, mx, my, W2, M)
+                x1 = fused(
+                    bhview(q_img),
+                    bhview(k_img),
+                    bhview(v_img),
+                    k_glo.reshape(B * H, Nglo, M) if Nglo >= 1 else None,
+                    v_glo.reshape(B * H, Nglo, M) if Nglo >= 1 else None,
+                    bias_full,
                 )
-                if mask_np.ndim == 2:
-                    mask = jnp.asarray(mask_np).reshape(1, 1, mx, my, 1, kv_span)
-                else:  # exact variant: per-query-pixel mask
-                    mask = jnp.asarray(mask_np).reshape(1, 1, mx, my, W2, kv_span)
-            attn11 = jnp.where(mask, -jnp.inf, attn11)
-
-            # joint softmax over [global keys ‖ local keys]
-            attn1 = jnp.concatenate([attn10, attn11], axis=-1)
-            probs = _softmax_max_sub(attn1)
-            probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
-            probs = probs.astype(self.dtype)
-            probs_glo, probs_loc = probs[..., :Nglo], probs[..., Nglo:]
-
-            x1 = sc.sliding_chunk_av(
-                probs_loc.reshape(B * H, mx, my, W2, kv_span), flat(v_img), mode
-            ).reshape(B, H, mx, my, W2, M)
-            if Nglo >= 1:
-                x1 = x1 + jnp.einsum(
-                    "bhmnlt,bhtc->bhmnlc", probs_glo, v_glo,
+                x1 = sc.unchunkify(x1, nx, ny, W).reshape(B, H, Nloc, M)
+            else:
+                # pure-XLA tier (also handles mode != 0 and attn dropout)
+                # local→global scores: (B, H, mx, my, W², Nglo)
+                attn10 = jnp.einsum(
+                    "bhmnlc,bhtc->bhmnlt", q_img, k_glo,
                     preferred_element_type=jnp.float32,
-                ).astype(self.dtype)
-            x1 = sc.unchunkify(
-                x1.reshape(B * H, mx, my, W2, M), nx, ny, W
-            ).reshape(B, H, Nloc, M)
+                )
+                # local→local scores via sliding chunks
+                flat = lambda t: t.reshape(B * H, mx, my, W2, -1)
+                attn11 = sc.sliding_chunk_qk(flat(q_img), flat(k_img), mode)
+                kv_span = attn11.shape[-1]
+                attn11 = attn11.reshape(B, H, mx, my, W2, kv_span)
+
+                if self.rpe:
+                    if Nglo >= 1:
+                        attn10 = attn10 + g2l[1][None, :, None, None, None, :]
+                    if traced_mode:
+                        idx = jnp.asarray(rpe_lib.all_mode_rpe_indices(W))[mode - 1]
+                    else:
+                        idx = jnp.asarray(
+                            rpe_lib.sliding_chunk_rpe_index_mode(W, int(mode))
+                        )
+                    local_bias = rpe_table[idx.reshape(-1)].reshape(W2, kv_span, H)
+                    local_bias = local_bias.transpose(2, 0, 1)  # (H, W², kv)
+                    attn11 = attn11 + local_bias[None, :, None, None, :, :]
+
+                # validity mask (static tables; per-mode stack for traced mode)
+                if traced_mode:
+                    mask = jnp.asarray(
+                        masks_lib.all_mode_masks(mx, my, padx, pady, W, self.exact)
+                    )[mode - 1].reshape(1, 1, mx, my, 1, kv_span)
+                else:
+                    mask_np = masks_lib.invalid_mask(
+                        mx, my, padx, pady, W, self.exact, int(mode)
+                    )
+                    if mask_np.ndim == 2:
+                        mask = jnp.asarray(mask_np).reshape(1, 1, mx, my, 1, kv_span)
+                    else:  # exact variant: per-query-pixel mask
+                        mask = jnp.asarray(mask_np).reshape(1, 1, mx, my, W2, kv_span)
+                attn11 = jnp.where(mask, -jnp.inf, attn11)
+
+                # joint softmax over [global keys ‖ local keys]
+                attn1 = jnp.concatenate([attn10, attn11], axis=-1)
+                probs = _softmax_max_sub(attn1)
+                probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
+                probs = probs.astype(self.dtype)
+                probs_glo, probs_loc = probs[..., :Nglo], probs[..., Nglo:]
+
+                x1 = sc.sliding_chunk_av(
+                    probs_loc.reshape(B * H, mx, my, W2, kv_span), flat(v_img), mode
+                ).reshape(B, H, mx, my, W2, M)
+                if Nglo >= 1:
+                    x1 = x1 + jnp.einsum(
+                        "bhmnlt,bhtc->bhmnlc", probs_glo, v_glo,
+                        preferred_element_type=jnp.float32,
+                    ).astype(self.dtype)
+                x1 = sc.unchunkify(
+                    x1.reshape(B * H, mx, my, W2, M), nx, ny, W
+                ).reshape(B, H, Nloc, M)
 
         x1 = _merge_heads(x1.astype(self.dtype))
         x1 = proj(x1)

@@ -1,0 +1,272 @@
+"""Fused Pallas TPU kernel for 2-D sliding-chunk attention.
+
+This is the TPU-native replacement for the reference's external TVM CUDA
+kernel (``models.diagonaled_mm_2d``, SURVEY.md §2.9) — and unlike that
+kernel, it fuses the ENTIRE local-attention pipeline of
+/root/reference/src/models/layers/longformer2d.py:152-200 into one pass:
+
+    scores = q · [k_glo ‖ k_3×3-neighborhood]ᵀ  (+ RPE bias) (+ validity mask)
+    probs  = softmax(scores)                     (max-subtracted, f32)
+    out    = probs · [v_glo ‖ v_neighborhood]
+
+Design notes (TPU-first):
+* Grid is (B·H, mx, my) — one W²-row query chunk per step. The 3×3 chunk
+  neighborhood is delivered by NINE BlockSpecs over the same K (and V) array
+  whose index maps apply the cyclic shift ``(mi+dx) % mx`` — the Pallas
+  pipeline double-buffers these HBM→VMEM copies automatically, so no
+  9×-materialized neighborhood ever exists (the XLA tier and the reference
+  both materialize it).
+* Scores/softmax in float32 regardless of input dtype; the PV matmuls run in
+  the input dtype on the MXU.
+* RPE bias is per-head: indexed with ``bh % H``. The validity mask is an
+  additive f32 table (0 / -1e30) covering the global columns too.
+* Masks, bias tables and shapes are config-time constants ⇒ a single
+  compilation per (layer shape, dtype).
+
+The backward pass recomputes via the pure-XLA tier under ``jax.custom_vjp``
+(flash-attention-style: only q/k/v/bias are saved, never the score matrix).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import sliding_chunk as sc
+from ..masks import NEIGHBOR_OFFSETS
+
+# flip to True in CPU tests to run the kernel in interpreter mode
+INTERPRET = False
+
+_NEG_INF = float(np.finfo(np.float32).min) / 2
+
+
+def _kernel(nglo: int, w2: int, has_bias: bool, *refs):
+    """Kernel body. refs layout:
+    [q, k×9, v×9, (k_glo, v_glo)?, (bias)?, mask, out]
+    """
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_refs = refs[i : i + 9]; i += 9
+    v_refs = refs[i : i + 9]; i += 9
+    if nglo > 0:
+        kg_ref = refs[i]; i += 1
+        vg_ref = refs[i]; i += 1
+    if has_bias:
+        bias_ref = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]
+
+    q = q_ref[0, 0, 0]  # (W2, M)
+    parts = []
+    if nglo > 0:
+        # tiny Nglo columns: VPU broadcast-mul-reduce — an MXU dot with 1..g
+        # output columns is degenerate (and mis-lowers in bf16 on Mosaic)
+        kg = kg_ref[0].astype(jnp.float32)  # (Nglo, M)
+        qf = q.astype(jnp.float32)
+        parts.append(jnp.sum(qf[:, None, :] * kg[None, :, :], axis=-1))
+    for kr in k_refs:
+        parts.append(
+            jax.lax.dot_general(
+                q, kr[0, 0, 0].astype(q.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    scores = jnp.concatenate(parts, axis=-1)  # (W2, Nglo + 9W2) f32
+    if has_bias:
+        scores = scores + bias_ref[0]
+    scores = scores + mask_ref[0, 0]
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / denom).astype(q.dtype)
+
+    acc = jnp.zeros((w2, q.shape[-1]), dtype=jnp.float32)
+    col = nglo
+    if nglo > 0:
+        # outer-product with Nglo rows: VPU broadcast instead of degenerate dot
+        pg = probs[:, :nglo].astype(jnp.float32)  # (W2, Nglo)
+        vg = vg_ref[0].astype(jnp.float32)  # (Nglo, M)
+        acc = acc + jnp.sum(pg[:, :, None] * vg[None, :, :], axis=1)
+    for j, vr in enumerate(v_refs):
+        acc = acc + jnp.dot(
+            probs[:, col + j * w2 : col + (j + 1) * w2],
+            vr[0, 0, 0].astype(probs.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0, 0, 0] = acc.astype(out_ref.dtype)
+
+
+def _pallas_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_glo: Optional[jax.Array],
+    v_glo: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    mask_add: np.ndarray,
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """q,k,v: (BH, mx, my, W², M); k_glo/v_glo: (BH, Nglo, M) or None;
+    bias: (H, W², Nglo+9W²) or None; mask_add: np (mx, my, Wq, Nglo+9W²).
+    Returns (BH, mx, my, W², M)."""
+    BH, mx, my, w2, M = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = nglo + 9 * w2
+    if interpret is None:
+        interpret = INTERPRET
+
+    qkv_block = (1, 1, 1, w2, M)
+    q_spec = pl.BlockSpec(
+        qkv_block, lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def nbh_spec(dx, dy):
+        return pl.BlockSpec(
+            qkv_block,
+            lambda b, i, j, dx=dx, dy=dy: (b, (i + dx) % mx, (j + dy) % my, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [q_spec]
+    in_specs += [nbh_spec(dx, dy) for dx, dy in NEIGHBOR_OFFSETS]
+    in_specs += [nbh_spec(dx, dy) for dx, dy in NEIGHBOR_OFFSETS]
+    operands = [q] + [k] * 9 + [v] * 9
+    if nglo > 0:
+        glo_spec = pl.BlockSpec(
+            (1, nglo, M), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [glo_spec, glo_spec]
+        operands += [k_glo, v_glo]
+    H = None
+    if has_bias:
+        H = bias.shape[0]
+        in_specs.append(
+            pl.BlockSpec(
+                (1, w2, cols),
+                lambda b, i, j: (b % H, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bias.astype(jnp.float32))
+    wq = mask_add.shape[2]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 1, wq, cols), lambda b, i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    operands.append(jnp.asarray(mask_add, dtype=jnp.float32))
+
+    flops_cell = 2 * w2 * cols * M * 2
+    kernel = functools.partial(_kernel, nglo, w2, has_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, mx, my),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            qkv_block, lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_cell * BH * mx * my,
+            bytes_accessed=(q.size + 19 * k.size) * q.dtype.itemsize,
+            transcendentals=BH * mx * my * w2 * cols,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _xla_reference(q, k, v, k_glo, v_glo, bias, mask_add):
+    """Pure-XLA computation of the same fused attention (used for the
+    backward pass and as the CPU fallback). Shapes as in _pallas_forward."""
+    BH, mx, my, w2, M = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    scores_loc = sc.sliding_chunk_qk(q, k, 0)  # (BH, mx, my, W2, 9W2) f32
+    if nglo > 0:
+        scores_glo = jnp.einsum(
+            "bmnlc,btc->bmnlt", q, k_glo, preferred_element_type=jnp.float32
+        )
+        scores = jnp.concatenate([scores_glo, scores_loc], axis=-1)
+    else:
+        scores = scores_loc
+    if bias is not None:
+        H = bias.shape[0]
+        B = BH // H
+        bias_b = jnp.tile(bias, (B, 1, 1))[:, None, None]  # (BH,1,1,W2,cols)
+        scores = scores + bias_b
+    scores = scores + jnp.asarray(mask_add, dtype=jnp.float32)[None]
+    m = jax.lax.stop_gradient(scores.max(axis=-1, keepdims=True))
+    probs = jax.nn.softmax(scores - m, axis=-1).astype(q.dtype)
+    out = sc.sliding_chunk_av(probs[..., nglo:], v, 0)
+    if nglo > 0:
+        out = out + jnp.einsum(
+            "bmnlt,btc->bmnlc", probs[..., :nglo], v_glo,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+    return out.astype(q.dtype)
+
+
+def make_fused_vil_attention(mask_add: np.ndarray, use_pallas: bool = True):
+    """Build the fused local-attention callable for a fixed mask table.
+
+    The mask is a trace-time constant (static shapes per config). Returns
+    ``f(q, k, v, k_glo, v_glo, bias) -> out`` with a custom VJP: Pallas
+    forward, recompute-based XLA backward (no saved score matrix).
+    Any of k_glo/v_glo/bias may be None (static arity).
+    """
+    mask_add = np.asarray(mask_add, dtype=np.float32)
+
+    @jax.custom_vjp
+    def fused(q, k, v, k_glo, v_glo, bias):
+        if use_pallas:
+            return _pallas_forward(q, k, v, k_glo, v_glo, bias, mask_add)
+        return _xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
+
+    def fwd(q, k, v, k_glo, v_glo, bias):
+        return fused(q, k, v, k_glo, v_glo, bias), (q, k, v, k_glo, v_glo, bias)
+
+    def bwd(res, g):
+        q, k, v, k_glo, v_glo, bias = res
+        diff_args = tuple(a for a in (q, k, v, k_glo, v_glo, bias) if a is not None)
+
+        def wrapped(*args):
+            it = iter(args)
+            full = [next(it) if a is not None else None
+                    for a in (q, k, v, k_glo, v_glo, bias)]
+            return _xla_reference(*full, mask_add)
+
+        _, vjp = jax.vjp(wrapped, *diff_args)
+        grads = iter(vjp(g))
+        return tuple(
+            next(grads) if a is not None else None
+            for a in (q, k, v, k_glo, v_glo, bias)
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def mask_to_additive(mask_bool: np.ndarray, mx: int, my: int, w2: int, nglo: int) -> np.ndarray:
+    """Boolean invalid-mask table → additive f32 (mx, my, Wq, Nglo+9W²).
+
+    Global-token columns are never masked. Accepts the (mx·my, 9W²) blockwise
+    tables or the (mx·my, W², 9W²) exact table.
+    """
+    if mask_bool.ndim == 2:
+        m = mask_bool.reshape(mx, my, 1, -1)
+    else:
+        m = mask_bool.reshape(mx, my, w2, -1)
+    add = np.where(m, _NEG_INF, 0.0).astype(np.float32)
+    if nglo > 0:
+        glo = np.zeros(add.shape[:3] + (nglo,), dtype=np.float32)
+        add = np.concatenate([glo, add], axis=-1)
+    return add
