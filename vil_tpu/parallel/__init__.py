@@ -1,0 +1,22 @@
+"""SPMD parallelism: mesh construction, shardings, distributed init."""
+from .mesh import (
+    batch_sharding,
+    create_mesh,
+    jit_eval_step,
+    jit_train_step,
+    mesh_from_cfg,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "jit_eval_step",
+    "jit_train_step",
+    "mesh_from_cfg",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

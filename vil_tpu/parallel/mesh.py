@@ -1,0 +1,91 @@
+"""Device mesh + sharding for SPMD training.
+
+The reference's parallelism is data-parallel DDP over NCCL (SURVEY §2.12:
+/root/reference/src/run_experiment.py:146-152, utils/comm.py). The TPU-native
+equivalent is a ``jax.sharding.Mesh`` with the batch sharded over the 'data'
+axis and parameters replicated: XLA inserts the gradient all-reduce over ICI
+from the shardings — there is no DDP wrapper, no bucketing, no hand-written
+collectives. Multi-host (DCN) initialization maps to
+``jax.distributed.initialize``.
+
+``MESH_SHAPE``/``MESH_AXES`` in the config allow extending to >1 axes (e.g.
+('data', 'model') for fsdp-style sharding of the larger MsViT variants).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    mesh_shape: Sequence[int] = (-1,),
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh; a -1 dim absorbs all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape)
+    known = int(np.prod([s for s in shape if s != -1])) if shape else 1
+    if -1 in shape:
+        shape[shape.index(-1)] = len(devices) // max(known, 1)
+    n = int(np.prod(shape))
+    if n != len(devices):
+        devices = devices[:n]
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def mesh_from_cfg(cfg, devices=None) -> Mesh:
+    return create_mesh(tuple(cfg.TPU.MESH_SHAPE), tuple(cfg.TPU.MESH_AXES), devices)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Place host arrays on the mesh, batch-dim sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True):
+    """jit the train step with replicated state and batch-sharded inputs.
+
+    Gradients are averaged across devices implicitly: the loss is a global
+    batch mean, so XLA emits the psum over ICI (replacing DDP's bucketed
+    all-reduce, reference comm.py / engine.py:97-98).
+    """
+    state_s = replicated(mesh)
+    data_s = batch_sharding(mesh, axis)
+    return jax.jit(
+        train_step,
+        in_shardings=(state_s, data_s, data_s, state_s),
+        out_shardings=(state_s, state_s),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
+    state_s = replicated(mesh)
+    data_s = batch_sharding(mesh, axis)
+    return jax.jit(
+        eval_step,
+        in_shardings=(state_s, data_s, data_s),
+        out_shardings=state_s,
+    )
