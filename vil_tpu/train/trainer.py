@@ -1,0 +1,277 @@
+"""Experiment orchestration (reference /root/reference/src/run_experiment.py
++ engine.py loops), TPU-native.
+
+One ``Trainer`` builds data/model/criterion/optimizer/mesh from a config and
+runs the epoch loop with the reference's training-strategy details:
+
+* VIL random-shift mode until ``VIL_MODE_SWITCH · EPOCHS``, then full mode
+  (run_experiment.py:223-230) — realized as two cached jit programs;
+* performer feature redraw every ``1 + 5·epoch`` steps
+  (run_experiment.py:217-221);
+* plateau LR drop for sgd/qhm when OPTIM.VAL and no improvement
+  (run_experiment.py:253-260) — an lr-scale multiplier held in the optimizer
+  state;
+* best-checkpoint tracking + final best-ckpt eval (run_experiment.py:264-279).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import parallel
+from ..data import make_epoch_data_loader, mixup_from_cfg
+from ..models import build_model
+from ..utils.checkpoint import Checkpointer
+from ..utils.metric_logger import TensorboardLogger
+from ..utils.misc import mkdir, save_config, set_seed
+from . import engine
+from .loss import get_criterion
+from .optim import get_opt
+from .redraw import RedrawSchedule, redraw_projections
+from .schedulers import get_lr_schedule
+
+logger = logging.getLogger(__name__)
+
+
+def lr_scalable(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Wrap an optimizer with a runtime lr multiplier (plateau drops)."""
+
+    def init(params):
+        return {"inner": tx.init(params), "lr_scale": jnp.float32(1.0)}
+
+    def update(grads, state, params=None):
+        updates, inner = tx.update(grads, state["inner"], params)
+        scale = state["lr_scale"]
+        updates = jax.tree_util.tree_map(lambda u: u * scale, updates)
+        return updates, {"inner": inner, "lr_scale": scale}
+
+    return optax.GradientTransformation(init, update)
+
+
+def drop_lr(state: engine.TrainState, factor: float) -> engine.TrainState:
+    opt_state = dict(state.opt_state)
+    opt_state["lr_scale"] = opt_state["lr_scale"] / factor
+    return state.replace(opt_state=opt_state)
+
+
+class Trainer:
+    def __init__(self, cfg, mesh=None):
+        self.cfg = cfg
+        set_seed(cfg.TPU.SEED)
+        self.mesh = mesh if mesh is not None else parallel.mesh_from_cfg(cfg)
+        self.model = build_model(cfg)
+        self.mixup_fn = mixup_from_cfg(cfg)
+        self.criterion = get_criterion(cfg, train=True)
+        self.criterion_eval = get_criterion(cfg, train=False)
+
+        # data
+        self.testloaders = make_epoch_data_loader(
+            cfg, is_train=False, drop_last=False
+        )
+        self.trainloader = None
+        if not cfg.EVALUATE:
+            self.trainloader = make_epoch_data_loader(cfg, is_train=True)
+            if cfg.SOLVER.STEPS_PER_EPOCH == 0:
+                was_frozen = cfg.is_frozen()
+                if was_frozen:
+                    cfg.defrost()
+                cfg.SOLVER.STEPS_PER_EPOCH = len(self.trainloader)
+                cfg.SOLVER.MAX_ITER = len(self.trainloader) * cfg.OPTIM.EPOCHS
+                if was_frozen:
+                    cfg.freeze()
+
+        # model state
+        rng = jax.random.PRNGKey(cfg.TPU.SEED)
+        sample = jnp.zeros(
+            (1, cfg.INPUT.IMAGE_SIZE, cfg.INPUT.IMAGE_SIZE, 3), jnp.float32
+        )
+        init_state = engine.create_train_state(
+            self.model, optax.identity(), rng, sample
+        )
+        self.lr_schedule = get_lr_schedule(cfg) or cfg.OPTIM.LR
+        self.tx = lr_scalable(get_opt(cfg, init_state.params, lr=self.lr_schedule))
+        self.state = init_state.replace(opt_state=self.tx.init(init_state.params))
+        self.state = parallel.replicate(self.mesh, self.state)
+
+        # checkpointing
+        self.checkpointer = Checkpointer(
+            save_dir=cfg.OUTPUT_DIR,
+            arch=cfg.MODEL.VIT.MSVIT.ARCH,
+            only_save_last=bool(cfg.ONLY_SAVE_LAST),
+            is_test=cfg.EVALUATE,
+            data_dir=cfg.DATA.DATA_DIR,
+        )
+        self.state, header = self.checkpointer.load(
+            self.state, cfg.MODEL.MODEL_PATH, resume=not cfg.EVALUATE
+        )
+        self.start_epoch = int(header.get("epoch", 0))
+        self.best_acc = float(header.get("best_acc", 0.0))
+
+        # jitted steps (built lazily, cached per random_shift flag)
+        self._train_steps: dict[bool, Any] = {}
+        self._eval_step = None
+        self.redraw_schedule = RedrawSchedule()
+        self._step_rng = jax.random.PRNGKey(cfg.TPU.SEED + 1)
+
+    # ------------------------------------------------------------------
+    def _get_train_step(self, random_shift: bool):
+        if random_shift not in self._train_steps:
+            step = engine.make_train_step(
+                self.model, self.criterion, self.tx,
+                random_shift=random_shift, mixup_fn=self.mixup_fn,
+            )
+            self._train_steps[random_shift] = parallel.jit_train_step(
+                step, self.mesh, donate_state=False
+            )
+        return self._train_steps[random_shift]
+
+    def _get_eval_step(self):
+        if self._eval_step is None:
+            target_valid = overlap = None
+            if self.cfg.DATA.TARGETMAP:
+                import json
+
+                with open(self.cfg.DATA.TARGETMAP) as f:
+                    raw = json.load(f)
+                tmap = {int(k): [int(c) for c in v] for k, v in raw.items()}
+                target_valid, overlap = engine.build_target_map_arrays(
+                    tmap, max(tmap) + 1, self.cfg.DATA.NUM_CLASSES
+                )
+            estep = engine.make_eval_step(
+                self.model, self.criterion_eval, target_valid, overlap
+            )
+            self._eval_step = parallel.jit_eval_step(estep, self.mesh)
+        return self._eval_step
+
+    def _random_shift_active(self, epoch: int) -> bool:
+        cfg = self.cfg
+        if cfg.MODEL.VIT.MSVIT.ATTN_TYPE.startswith("longformer"):
+            switch = cfg.MODEL.VIT.MSVIT.VIL_MODE_SWITCH * cfg.OPTIM.EPOCHS
+            return cfg.MODEL.VIT.MSVIT.MODE > 0 and epoch < switch
+        return False
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, meters: Optional[TensorboardLogger] = None):
+        cfg = self.cfg
+        self.trainloader.sampler.set_epoch(epoch)
+        train_step = self._get_train_step(self._random_shift_active(epoch))
+        is_performer = cfg.MODEL.VIT.MSVIT.ATTN_TYPE == "performer"
+        if is_performer:
+            self.redraw_schedule.set_epoch(epoch)
+        log_freq = max(1, cfg.LOG_FREQ)
+        t_end = time.time()
+        for i, (images, targets) in enumerate(self.trainloader):
+            data_time = time.time() - t_end
+            if is_performer and self.redraw_schedule.should_redraw():
+                self._step_rng, sub = jax.random.split(self._step_rng)
+                self.state = self.state.replace(
+                    buffers=redraw_projections(self.state.buffers, sub)
+                )
+            images = parallel.shard_batch(self.mesh, jnp.asarray(images))
+            targets = parallel.shard_batch(self.mesh, jnp.asarray(targets))
+            self.state, metrics = train_step(
+                self.state, images, targets, self._step_rng
+            )
+            batch_time = time.time() - t_end
+            t_end = time.time()
+            if i % log_freq == 0:
+                host = {k: float(v) for k, v in metrics.items()}
+                lr = (
+                    float(self.lr_schedule(int(self.state.step)))
+                    if callable(self.lr_schedule) else self.lr_schedule
+                )
+                if meters is not None:
+                    meters.update(
+                        int(self.state.step), data_time=data_time,
+                        batch_time=batch_time, learning_rate=lr, **host,
+                    )
+                logger.info(
+                    "epoch %d it %d/%d loss %.4f lr %.2e %s",
+                    epoch, i, len(self.trainloader), host.get("loss", 0), lr,
+                    " ".join(f"{k} {v:.2f}" for k, v in host.items() if k != "loss"),
+                )
+
+    def validate(self, loader, meters=None, global_step: int = 0) -> float:
+        eval_step = self._get_eval_step()
+        variables = self.state.variables()
+        totals = {"loss": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0.0}
+        nbatch = 0
+        for images, targets in loader:
+            images = parallel.shard_batch(self.mesh, jnp.asarray(images))
+            targets = parallel.shard_batch(self.mesh, jnp.asarray(targets))
+            m = eval_step(variables, images, targets)
+            for k in totals:
+                totals[k] += float(m[k])
+            nbatch += 1
+        top1 = 100.0 * totals["top1_sum"] / max(totals["count"], 1)
+        top5 = 100.0 * totals["top5_sum"] / max(totals["count"], 1)
+        loss = totals["loss"] / max(nbatch, 1)
+        logger.info(
+            "eval: top1 %.3f top5 %.3f loss %.4f (%d images)",
+            top1, top5, loss, int(totals["count"]),
+        )
+        if meters is not None:
+            meters.update(global_step, top1=top1, top5=top5, loss=loss)
+        return top1
+
+    # ------------------------------------------------------------------
+    def fit(self, train_meters=None, test_meters=None):
+        cfg = self.cfg
+        if cfg.EVALUATE:
+            return [self.validate(l) for l in self.testloaders]
+
+        for epoch in range(self.start_epoch, cfg.OPTIM.EPOCHS):
+            logger.info("PROGRESS: %.1f%%", 100 * epoch / cfg.OPTIM.EPOCHS)
+            self.train_epoch(epoch, train_meters)
+            accs = [
+                self.validate(
+                    l,
+                    test_meters[i] if test_meters else None,
+                    (epoch + 1) * len(self.trainloader),
+                )
+                for i, l in enumerate(self.testloaders)
+            ]
+            is_best = accs[0] > self.best_acc
+            if is_best:
+                self.best_acc = accs[0]
+            elif cfg.OPTIM.VAL and cfg.OPTIM.OPT in ("sgd", "qhm"):
+                logger.info("DROPPING LEARNING RATE")
+                self.state = drop_lr(self.state, cfg.OPTIM.DROP_FACTOR)
+            self.checkpointer.save(
+                epoch + 1, self.state, best_acc=self.best_acc, is_best=is_best
+            )
+
+        # final: evaluate the best checkpoint (run_experiment.py:264-279)
+        import os.path as op
+
+        best = op.join(cfg.OUTPUT_DIR, "model_best.ckpt")
+        if op.isfile(best):
+            logger.info("Evaluating the best checkpoint: %s", best)
+            self.checkpointer.is_test = True
+            self.state, _ = self.checkpointer.load(self.state, best, resume=False)
+            return [self.validate(l) for l in self.testloaders]
+        return []
+
+
+def run_experiment(cfg):
+    """Full experiment entry (CLI body)."""
+    mkdir(cfg.OUTPUT_DIR)
+    save_config(cfg, f"{cfg.OUTPUT_DIR}/config.yaml")
+    trainer = Trainer(cfg)
+    train_meters = TensorboardLogger(f"{cfg.OUTPUT_DIR}/tb_logs/train")
+    test_meters = [
+        TensorboardLogger(f"{cfg.OUTPUT_DIR}/tb_logs/{name}_{i}")
+        for i, name in enumerate(cfg.DATA.TEST)
+    ]
+    try:
+        return trainer.fit(train_meters, test_meters)
+    finally:
+        train_meters.close()
+        for m in test_meters:
+            m.close()
