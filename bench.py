@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: ViL-Small 224² inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY §6); the BASELINE.json
+north star is ≥3× an A100-PyTorch baseline on a single v5e chip. We
+normalize vs_baseline against an assumed A100 ViL-Small fp16 inference
+throughput of ~333 images/sec (so vs_baseline ≈ 1.0 == the 3× target,
+i.e. 1000 img/s).
+
+Timing notes for this environment: the axon remote backend's
+block_until_ready can return before remote completion, and dispatch has a
+large tunnel RTT — so we time K iterations chained inside one jit (true data
+dependency between iterations) and fetch a scalar, using a two-point
+difference to cancel the fixed overhead.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_S = 333.0  # assumed A100-PyTorch ViL-Small fp16 inference
+TARGET_MULTIPLE = 3.0
+
+
+def build_model_and_vars(batch: int):
+    from vil_tpu.models import ARCH_ZOO, MsViT
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = MsViT(
+        arch=ARCH_ZOO["vil_small"],
+        img_size=224,
+        num_classes=1000,
+        attn_type="longformerhand",
+        sharew=True,
+        norm_embed=True,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.float32)
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+    return model, variables, x
+
+
+def make_chained_forward(model, iters: int):
+    """Run `iters` forwards with a data dependency; returns a scalar."""
+
+    @jax.jit
+    def run(variables, x):
+        def body(i, carry):
+            x_i = x * (1 + 1e-24 * carry).astype(x.dtype)
+            logits = model.apply({"params": variables["params"]}, x_i,
+                                 deterministic=True)
+            return carry + jnp.sum(logits).astype(jnp.float32) * 1e-30
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return run
+
+
+def timed_fetch(fn, variables, x) -> float:
+    t0 = time.time()
+    float(fn(variables, x))  # host fetch forces completion
+    return time.time() - t0
+
+
+def main():
+    batch = 128
+    iters_a, iters_b = 4, 20
+    model, variables, x = build_model_and_vars(batch)
+
+    run_a = make_chained_forward(model, iters_a)
+    run_b = make_chained_forward(model, iters_b)
+    # warmup/compile both programs
+    timed_fetch(run_a, variables, x)
+    timed_fetch(run_b, variables, x)
+
+    best = float("inf")
+    for _ in range(3):
+        ta = timed_fetch(run_a, variables, x)
+        tb = timed_fetch(run_b, variables, x)
+        per_iter = (tb - ta) / (iters_b - iters_a)
+        if 0 < per_iter < best:
+            best = per_iter
+    images_per_sec = batch / best
+    print(
+        json.dumps(
+            {
+                "metric": "vil_small_224_inference_throughput",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(
+                    images_per_sec / (A100_BASELINE_IMG_S * TARGET_MULTIPLE), 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
