@@ -185,3 +185,56 @@ def test_mixup():
     fn0 = make_mixup_fn(prob=0.0, label_smoothing=0.1, num_classes=10)
     _, y0 = fn0(jax.random.PRNGKey(0), imgs, targets)
     assert abs(float(y0[0, 0]) - (1 - 0.1 + 0.01)) < 1e-6
+
+
+def test_native_tsv_core(tmp_path):
+    """Native C++ lineidx/row-reader/base64 must match the Python versions."""
+    from vil_tpu.data import native
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    tsv_file = str(tmp_path / "n.tsv")
+    with open(tsv_file, "w") as f:
+        for i in range(50):
+            f.write(f"key{i}\t{i}\t{'payload' * (i % 7)}\n")
+    # lineidx parity with the python builder
+    ours, py = str(tmp_path / "n1.lineidx"), str(tmp_path / "n2.lineidx")
+    assert native.build_lineidx(tsv_file, ours)
+    # python fallback path (bypass native)
+    idx_tmp = py + ".tmp"
+    with open(tsv_file, "rb") as fin, open(idx_tmp, "w") as fout:
+        import os as _os
+
+        fsize = _os.fstat(fin.fileno()).st_size
+        fpos = 0
+        while fpos != fsize:
+            fout.write(str(fpos) + "\n")
+            fin.readline()
+            fpos = fin.tell()
+    _os.rename(idx_tmp, py)
+    assert open(ours).read() == open(py).read()
+    # row reader
+    offsets = [int(l) for l in open(ours)]
+    rd = native.NativeRowReader(tsv_file)
+    assert rd.read(offsets[7]).decode() == "key7\t7\t" + "payload" * 0
+    assert rd.read(offsets[13]).decode().startswith("key13\t13\t")
+    rd.close()
+    # base64
+    import base64 as b64
+
+    payload = bytes(range(256)) * 3
+    assert native.b64_decode(b64.b64encode(payload)) == payload
+
+
+def test_tsvfile_native_path_matches_python(tmp_path):
+    from vil_tpu.data import tsv as T2
+
+    tsv_file = str(tmp_path / "m.tsv")
+    T2.tsv_writer(([f"k{i}", i, f"v{i}"] for i in range(9)), tsv_file)
+    tf = T2.TSVFile(tsv_file)
+    rows_native = [tf.seek(i) for i in range(9)]
+    tf2 = T2.TSVFile(tsv_file)
+    tf2._native = False  # force python path
+    rows_py = [tf2.seek(i) for i in range(9)]
+    assert rows_native == rows_py

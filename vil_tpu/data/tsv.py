@@ -20,7 +20,17 @@ import numpy as np
 
 
 def create_lineidx(filein: str, idxout: str) -> None:
-    """Write byte offsets of each line (reference tsv_file.py:7-16)."""
+    """Write byte offsets of each line (reference tsv_file.py:7-16).
+
+    Uses the native C++ single-pass scanner when available (native/tsv_core),
+    falling back to the Python loop; output format is identical."""
+    try:
+        from .native import build_lineidx as native_build
+
+        if native_build(filein, idxout):
+            return
+    except Exception:  # noqa: BLE001
+        pass
     idxout_tmp = idxout + ".tmp"
     with open(filein, "rb") as fin, open(idxout_tmp, "w") as fout:
         fsize = os.fstat(fin.fileno()).st_size
@@ -40,6 +50,7 @@ class TSVFile:
         self.lineidx = op.splitext(tsv_file)[0] + ".lineidx"
         self._fp = None
         self._lineidx = None
+        self._native = None  # None = untried, False = unavailable
         self.pid = None
         if not op.isfile(self.lineidx) and generate_lineidx:
             create_lineidx(self.tsv_file, self.lineidx)
@@ -56,8 +67,20 @@ class TSVFile:
         return self.num_rows()
 
     def seek(self, idx: int) -> list[str]:
-        self._ensure_open()
         self._ensure_lineidx()
+        if self._native is not False:
+            # pread-based native reader: no shared file position, so loader
+            # threads can read concurrently without locks
+            try:
+                if self._native is None:
+                    from .native import NativeRowReader
+
+                    self._native = NativeRowReader(self.tsv_file)
+                row = self._native.read(self._lineidx[idx]).decode()
+                return [s.strip() for s in row.split("\t")]
+            except Exception:  # noqa: BLE001
+                self._native = False
+        self._ensure_open()
         self._fp.seek(self._lineidx[idx])
         return [s.strip() for s in self._fp.readline().split("\t")]
 

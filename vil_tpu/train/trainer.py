@@ -64,6 +64,10 @@ class Trainer:
     def __init__(self, cfg, mesh=None):
         self.cfg = cfg
         set_seed(cfg.TPU.SEED)
+        if cfg.SOLVER.DETECT_ANOMALY:
+            # reference: torch.autograd.set_detect_anomaly
+            # (run_experiment.py:233); TPU equivalent: nan-checking jit
+            jax.config.update("jax_debug_nans", True)
         self.mesh = mesh if mesh is not None else parallel.mesh_from_cfg(cfg)
         self.model = build_model(cfg)
         self.mixup_fn = mixup_from_cfg(cfg)
@@ -144,7 +148,9 @@ class Trainer:
                     tmap, max(tmap) + 1, self.cfg.DATA.NUM_CLASSES
                 )
             estep = engine.make_eval_step(
-                self.model, self.criterion_eval, target_valid, overlap
+                self.model, self.criterion_eval, target_valid, overlap,
+                return_scores=bool(self.cfg.EVALUATE)
+                or bool(self.cfg.OUTPUT_PERCLASS_ACC),
             )
             self._eval_step = parallel.jit_eval_step(estep, self.mesh)
         return self._eval_step
@@ -197,18 +203,24 @@ class Trainer:
                     " ".join(f"{k} {v:.2f}" for k, v in host.items() if k != "loss"),
                 )
 
-    def validate(self, loader, meters=None, global_step: int = 0) -> float:
+    def validate(self, loader, meters=None, global_step: int = 0,
+                 save_results: Optional[str] = None) -> float:
         eval_step = self._get_eval_step()
         variables = self.state.variables()
         totals = {"loss": 0.0, "top1_sum": 0.0, "top5_sum": 0.0, "count": 0.0}
         nbatch = 0
-        for images, targets in loader:
+        collect = bool(self.cfg.EVALUATE) or bool(self.cfg.OUTPUT_PERCLASS_ACC)
+        all_scores, all_targets = [], []
+        for images, targets_np in loader:
             images = parallel.shard_batch(self.mesh, jnp.asarray(images))
-            targets = parallel.shard_batch(self.mesh, jnp.asarray(targets))
+            targets = parallel.shard_batch(self.mesh, jnp.asarray(targets_np))
             m = eval_step(variables, images, targets)
             for k in totals:
                 totals[k] += float(m[k])
             nbatch += 1
+            if collect and "scores" in m:
+                all_scores.append(np.asarray(m["scores"]))
+                all_targets.append(np.asarray(targets_np))
         top1 = 100.0 * totals["top1_sum"] / max(totals["count"], 1)
         top5 = 100.0 * totals["top5_sum"] / max(totals["count"], 1)
         loss = totals["loss"] / max(nbatch, 1)
@@ -216,6 +228,26 @@ class Trainer:
             "eval: top1 %.3f top5 %.3f loss %.4f (%d images)",
             top1, top5, loss, int(totals["count"]),
         )
+        if collect and all_scores:
+            scores = np.concatenate(all_scores)
+            targets_cat = np.concatenate(all_targets)
+            if self.cfg.OUTPUT_PERCLASS_ACC:
+                # reference output_metrics per-class path (engine.py:47-56)
+                for label in range(int(targets_cat.max()) + 1):
+                    sel = scores[targets_cat == label]
+                    if len(sel):
+                        logger.info(
+                            "class %d: top1 %.2f top5 %.2f (n=%d)", label,
+                            100 * sel[:, 0].mean(), 100 * sel[:, 1].mean(), len(sel),
+                        )
+            if save_results:
+                # per-image results (reference saves results.pth,
+                # engine.py:323-325)
+                np.savez(
+                    save_results, scores=scores, targets=targets_cat,
+                    top1=top1, top5=top5,
+                )
+                logger.info("Saved per-image eval results to %s", save_results)
         if meters is not None:
             meters.update(global_step, top1=top1, top5=top5, loss=loss)
         return top1
@@ -224,7 +256,13 @@ class Trainer:
     def fit(self, train_meters=None, test_meters=None):
         cfg = self.cfg
         if cfg.EVALUATE:
-            return [self.validate(l) for l in self.testloaders]
+            return [
+                self.validate(
+                    l, save_results=f"{cfg.OUTPUT_DIR}/results_{i}.npz"
+                    if cfg.OUTPUT_DIR else None,
+                )
+                for i, l in enumerate(self.testloaders)
+            ]
 
         for epoch in range(self.start_epoch, cfg.OPTIM.EPOCHS):
             logger.info("PROGRESS: %.1f%%", 100 * epoch / cfg.OPTIM.EPOCHS)
