@@ -128,3 +128,34 @@ def test_pos_embed_resize_on_resolution_change():
     out = model.apply({"params": params}, x)
     assert out.shape == (1, 10)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_performer_logits_match_reference():
+    """Performer parity: import the torch model's random-feature projection
+    buffers too (fast_attention.projection_matrix -> buffers collection)."""
+    from vil_tpu.utils.torch_import import import_torch_checkpoint
+
+    torch.manual_seed(0)
+    RefMsViT = get_reference_msvit()
+    arch = ARCH.replace("f4", "f8")  # nb_features = 8
+    ref = RefMsViT(
+        arch=arch, img_size=IMG, num_classes=10, attn_type="performer",
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0, norm_embed=True,
+    )
+    ref.eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = MsViT(
+        arch=arch, img_size=IMG, num_classes=10, attn_type="performer",
+        norm_embed=True, dtype=jnp.float32,
+    )
+    x_np = np.random.default_rng(3).standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_np))
+    params = import_torch_checkpoint(state, variables["params"], strict=True)
+    buffers = import_torch_checkpoint(state, variables["buffers"], strict=True)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(
+        model.apply({"params": params, "buffers": buffers}, jnp.asarray(x_np))
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)

@@ -151,6 +151,10 @@ def _flax_path_to_torch_key(path: tuple) -> str | None:
                 torch_parts.append("weight")
             elif p == "bias":
                 torch_parts.append("bias")
+            elif p == "projection_matrix":
+                # performer buffer lives under the FastAttention submodule in
+                # torch (performer.py:133) but directly on our module
+                torch_parts.append("fast_attention.projection_matrix")
             elif p in _LEAF_DIRECT:
                 torch_parts.append(p)
             else:
@@ -231,3 +235,16 @@ def import_torch_checkpoint(
 def load_into_model(path: str, flax_params: Any, strict: bool = False) -> Any:
     """Convenience: .pth file → updated flax params."""
     return import_torch_checkpoint(load_torch_state_dict(path), flax_params, strict)
+
+
+def load_into_variables(path: str, variables: dict, strict: bool = False) -> dict:
+    """Fill BOTH params and non-trainable collections (e.g. the performer's
+    ``buffers/projection_matrix``) from a torch checkpoint."""
+    state = load_torch_state_dict(path)
+    out = dict(variables)
+    out["params"] = import_torch_checkpoint(state, variables["params"], strict)
+    if "buffers" in variables and variables["buffers"]:
+        out["buffers"] = import_torch_checkpoint(
+            state, variables["buffers"], strict=False
+        )
+    return out
