@@ -120,3 +120,24 @@ def test_build_model_from_cfg():
     x = jnp.ones((1, 32, 32, 3))
     variables = model.init({"params": jax.random.PRNGKey(0)}, x)
     assert model.apply(variables, x).shape == (1, 10)
+
+
+def test_remat_matches_baseline():
+    """remat='full' must be numerically identical, forward and grad."""
+    x = jnp.ones((2, 32, 32, 3))
+    base = MsViT(arch=TINY_ARCH, img_size=32, num_classes=10,
+                 attn_type="longformerhand")
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x)
+    rematted = MsViT(arch=TINY_ARCH, img_size=32, num_classes=10,
+                     attn_type="longformerhand", remat="full")
+    out_b = base.apply(variables, x)
+    out_r = rematted.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_b), atol=1e-6)
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    gb = jax.grad(lambda p: loss(base, p))(variables["params"])
+    gr = jax.grad(lambda p: loss(rematted, p))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -48,6 +48,8 @@ def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
         args["sw_exact"] = cfg.MODEL.VIT.MSVIT.SW_EXACT
         args["ln_eps"] = cfg.MODEL.VIT.MSVIT.LN_EPS
         args["mode"] = cfg.MODEL.VIT.MSVIT.MODE
+        if cfg.TPU.REMAT and cfg.MODEL.VIT.MSVIT.MODE <= 0:
+            args["remat"] = cfg.TPU.REMAT
     logging.info("=> creating model '%s'", name)
     return MODEL_REGISTRY[name](
         num_classes=cfg.DATA.NUM_CLASSES,

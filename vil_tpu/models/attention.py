@@ -374,7 +374,11 @@ class VilAttention(nn.Module):
         # global branch: vanilla dense attention over all tokens
         # (longformer2d.py:209-227)
         if self.sharew:
-            query_g, kv_g, proj_g = query, kv, proj
+            query_g, proj_g = query, proj
+            # kv_global ≡ kv when weights are shared: reuse the local
+            # branch's K/V instead of recomputing the (N, 2C) projection
+            # (the reference recomputes it — numerically identical)
+            kg, vg = k, v
         else:
             query_g = dense(self.dim, "query_global")
             kv_g = dense(2 * self.dim, "kv_global")
@@ -385,8 +389,8 @@ class VilAttention(nn.Module):
                 kernel_init=trunc_normal_init,
                 name="proj_global",
             )
+            kg, vg = (_split_heads(t, H) for t in jnp.split(kv_g(x), 2, axis=-1))
         qg = _split_heads(query_g(x[:, :Nglo]), H) * scale
-        kg, vg = (_split_heads(t, H) for t in jnp.split(kv_g(x), 2, axis=-1))
         attn0 = jnp.einsum(
             "bhnm,bhtm->bhnt", qg, kg, preferred_element_type=jnp.float32
         )

@@ -180,6 +180,10 @@ class MsViT(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # rematerialization of transformer blocks for training memory:
+    # '' = off, 'minimal' = save MXU outputs (recompute elementwise),
+    # 'full' = recompute everything (smallest memory)
+    remat: str = ""
 
     @property
     def layer_cfgs(self) -> list[StageCfg]:
@@ -210,6 +214,20 @@ class MsViT(nn.Module):
     def setup(self):
         cfgs = self.layer_cfgs
         grids = self.grid_sizes()
+        attn_cls, mlp_cls = AttnBlock, MlpBlock
+        if self.remat:
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if self.remat == "minimal" else None
+            )
+            # all non-array call args (nx, ny, deterministic, mode) are
+            # static under remat — so remat requires a STATIC vil mode
+            # (random-shift training with MODE>0 passes a traced mode and is
+            # not combinable with remat; use remat='' there)
+            attn_cls = nn.remat(
+                AttnBlock, policy=policy, static_argnums=(2, 3, 4, 5)
+            )
+            mlp_cls = nn.remat(MlpBlock, policy=policy, static_argnums=(2,))
         # stochastic depth decay rule (msvit.py:419-421)
         dprs = np.linspace(0, self.drop_path_rate, self.depth)
         patch_embeds = []

@@ -10,21 +10,24 @@ kernel, it fuses the ENTIRE local-attention pipeline of
     out    = probs · [v_glo ‖ v_neighborhood]
 
 Design notes (TPU-first):
-* Grid is (B·H, mx, my) — one W²-row query chunk per step. The 3×3 chunk
-  neighborhood is delivered by NINE BlockSpecs over the same K (and V) array
-  whose index maps apply the cyclic shift ``(mi+dx) % mx`` — the Pallas
-  pipeline double-buffers these HBM→VMEM copies automatically, so no
-  9×-materialized neighborhood ever exists (the XLA tier and the reference
-  both materialize it).
-* Scores/softmax in float32 regardless of input dtype; the PV matmuls run in
-  the input dtype on the MXU.
-* RPE bias is per-head: indexed with ``bh % H``. The validity mask is an
+* Grid is (B·H, mx) — one full ROW of query chunks per step. The three
+  neighbor chunk-rows of K/V arrive via cyclically-shifted BlockSpec index
+  maps ((i+dx) % mx); the column neighbors are produced in-register by
+  cyclic rolls along the row. This amortizes the per-step pipeline overhead
+  over my chunks and reads each K/V row 3× (vs 9× for a per-chunk grid), and
+  no 9×-materialized neighborhood ever exists in HBM.
+* Per query chunk the 9 neighbor K chunks are concatenated in VMEM and
+  contracted in ONE wide MXU GEMM (W², M)·(M, 9W²); same for PV.
+* Scores/softmax in float32; PV in the input dtype on the MXU.
+* RPE bias is per-head (indexed ``bh % H``); the validity mask is an
   additive f32 table (0 / -1e30) covering the global columns too.
-* Masks, bias tables and shapes are config-time constants ⇒ a single
+* The tiny global-token columns (Nglo ~ 1) use VPU broadcast-reduce — an
+  MXU dot with 1 output column is degenerate (and mis-lowers in bf16).
+* Masks/bias tables and all shapes are config-time constants ⇒ a single
   compilation per (layer shape, dtype).
 
-The backward pass recomputes via the pure-XLA tier under ``jax.custom_vjp``
-(flash-attention-style: only q/k/v/bias are saved, never the score matrix).
+The backward pass recomputes through the pure-XLA tier under
+``jax.custom_vjp`` (flash-attention-style: the score matrix is never saved).
 """
 from __future__ import annotations
 
@@ -46,14 +49,15 @@ INTERPRET = False
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
 
-def _kernel(nglo: int, w2: int, has_bias: bool, *refs):
+def _kernel(nglo: int, w2: int, my: int, has_bias: bool, *refs):
     """Kernel body. refs layout:
-    [q, k×9, v×9, (k_glo, v_glo)?, (bias)?, mask, out]
+    [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias)?, mask_row, out_row]
+    q_row: (1, 1, my, W2, M); k/v rows: chunk rows i-1, i, i+1.
     """
     i = 0
     q_ref = refs[i]; i += 1
-    k_refs = refs[i : i + 9]; i += 9
-    v_refs = refs[i : i + 9]; i += 9
+    k_refs = refs[i : i + 3]; i += 3
+    v_refs = refs[i : i + 3]; i += 3
     if nglo > 0:
         kg_ref = refs[i]; i += 1
         vg_ref = refs[i]; i += 1
@@ -62,45 +66,61 @@ def _kernel(nglo: int, w2: int, has_bias: bool, *refs):
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]
 
-    q = q_ref[0, 0, 0]  # (W2, M)
-    parts = []
+    def nbh(rows):
+        """rows: 3 × (my, W2, M) → (my, 9W2, M) in NEIGHBOR_OFFSETS order."""
+        parts = []
+        for dx, dy in NEIGHBOR_OFFSETS:
+            r = rows[dx + 1]
+            if dy != 0 and my > 1:
+                # bring chunk (j+dy) to position j: STATIC cyclic roll along
+                # my via slice+concat (Mosaic's rotate op lacks bf16 support)
+                s = dy % my
+                r = jnp.concatenate([r[s:], r[:s]], axis=0)
+            parts.append(r)
+        return jnp.concatenate(parts, axis=1)
+
+    k_rows = [kr[0, 0] for kr in k_refs]  # (my, W2, M)
+    v_rows = [vr[0, 0] for vr in v_refs]
+    k_nbh = nbh(k_rows)  # (my, 9W2, M)
+    v_nbh = nbh(v_rows)
+    q_row = q_ref[0, 0]  # (my, W2, M)
+
+    # batched over the row: (my, W2, M) · (my, 9W2, M)ᵀ → (my, W2, 9W2)
+    scores_loc = jax.lax.dot_general(
+        q_row, k_nbh.astype(q_row.dtype),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     if nglo > 0:
-        # tiny Nglo columns: VPU broadcast-mul-reduce — an MXU dot with 1..g
-        # output columns is degenerate (and mis-lowers in bf16 on Mosaic)
         kg = kg_ref[0].astype(jnp.float32)  # (Nglo, M)
-        qf = q.astype(jnp.float32)
-        parts.append(jnp.sum(qf[:, None, :] * kg[None, :, :], axis=-1))
-    for kr in k_refs:
-        parts.append(
-            jax.lax.dot_general(
-                q, kr[0, 0, 0].astype(q.dtype), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )
-    scores = jnp.concatenate(parts, axis=-1)  # (W2, Nglo + 9W2) f32
+        qf = q_row.astype(jnp.float32)
+        scores_glo = jnp.sum(
+            qf[:, :, None, :] * kg[None, None, :, :], axis=-1
+        )  # (my, W2, Nglo)
+        scores = jnp.concatenate([scores_glo, scores_loc], axis=-1)
+    else:
+        scores = scores_loc
     if has_bias:
-        scores = scores + bias_ref[0]
-    scores = scores + mask_ref[0, 0]
+        scores = scores + bias_ref[0][None]
+    scores = scores + mask_ref[0]
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    probs = (p / denom).astype(q.dtype)
+    probs = (p / denom).astype(q_row.dtype)
 
-    acc = jnp.zeros((w2, q.shape[-1]), dtype=jnp.float32)
-    col = nglo
+    acc = jax.lax.dot_general(
+        probs[..., nglo:], v_nbh.astype(probs.dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (my, W2, M)
     if nglo > 0:
-        # outer-product with Nglo rows: VPU broadcast instead of degenerate dot
-        pg = probs[:, :nglo].astype(jnp.float32)  # (W2, Nglo)
+        pg = probs[..., :nglo].astype(jnp.float32)  # (my, W2, Nglo)
         vg = vg_ref[0].astype(jnp.float32)  # (Nglo, M)
-        acc = acc + jnp.sum(pg[:, :, None] * vg[None, :, :], axis=1)
-    for j, vr in enumerate(v_refs):
-        acc = acc + jnp.dot(
-            probs[:, col + j * w2 : col + (j + 1) * w2],
-            vr[0, 0, 0].astype(probs.dtype),
-            preferred_element_type=jnp.float32,
+        acc = acc + jnp.sum(
+            pg[:, :, :, None] * vg[None, None, :, :], axis=2
         )
-    out_ref[0, 0, 0] = acc.astype(out_ref.dtype)
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
 def _pallas_forward(
@@ -124,25 +144,25 @@ def _pallas_forward(
     if interpret is None:
         interpret = INTERPRET
 
-    qkv_block = (1, 1, 1, w2, M)
+    row_block = (1, 1, my, w2, M)
     q_spec = pl.BlockSpec(
-        qkv_block, lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+        row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
-    def nbh_spec(dx, dy):
+    def row_spec(dx):
         return pl.BlockSpec(
-            qkv_block,
-            lambda b, i, j, dx=dx, dy=dy: (b, (i + dx) % mx, (j + dy) % my, 0, 0),
+            row_block,
+            lambda b, i, dx=dx: (b, (i + dx) % mx, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     in_specs = [q_spec]
-    in_specs += [nbh_spec(dx, dy) for dx, dy in NEIGHBOR_OFFSETS]
-    in_specs += [nbh_spec(dx, dy) for dx, dy in NEIGHBOR_OFFSETS]
-    operands = [q] + [k] * 9 + [v] * 9
+    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+    operands = [q, k, k, k, v, v, v]
     if nglo > 0:
         glo_spec = pl.BlockSpec(
-            (1, nglo, M), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, nglo, M), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
         )
         in_specs += [glo_spec, glo_spec]
         operands += [k_glo, v_glo]
@@ -151,8 +171,7 @@ def _pallas_forward(
         H = bias.shape[0]
         in_specs.append(
             pl.BlockSpec(
-                (1, w2, cols),
-                lambda b, i, j: (b % H, 0, 0),
+                (1, w2, cols), lambda b, i: (b % H, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -160,25 +179,27 @@ def _pallas_forward(
     wq = mask_add.shape[2]
     in_specs.append(
         pl.BlockSpec(
-            (1, 1, wq, cols), lambda b, i, j: (i, j, 0, 0),
+            (1, my, wq, cols), lambda b, i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
     )
+    # broadcast the per-chunk mask over query pixels here so the kernel adds
+    # a uniformly-shaped (my, W2-or-1, cols) tile
     operands.append(jnp.asarray(mask_add, dtype=jnp.float32))
 
-    flops_cell = 2 * w2 * cols * M * 2
-    kernel = functools.partial(_kernel, nglo, w2, has_bias)
+    flops_cell = 2 * my * w2 * cols * M * 2
+    kernel = functools.partial(_kernel, nglo, w2, my, has_bias)
     return pl.pallas_call(
         kernel,
-        grid=(BH, mx, my),
+        grid=(BH, mx),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            qkv_block, lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+            row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=flops_cell * BH * mx * my,
-            bytes_accessed=(q.size + 19 * k.size) * q.dtype.itemsize,
+            flops=flops_cell * BH * mx,
+            bytes_accessed=(q.size + 7 * k.size) * q.dtype.itemsize,
             transcendentals=BH * mx * my * w2 * cols,
         ),
         interpret=interpret,
