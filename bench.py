@@ -24,6 +24,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from vil_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
 A100_BASELINE_IMG_S = 333.0  # assumed A100-PyTorch ViL-Small fp16 inference
 TARGET_MULTIPLE = 3.0
 

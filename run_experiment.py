@@ -43,6 +43,10 @@ def main():
 
         jax.distributed.initialize()
 
+    from vil_tpu.utils.compilation_cache import enable as enable_cache
+
+    enable_cache()
+
     from vil_tpu.config import get_default_cfg
     from vil_tpu.train.trainer import run_experiment
 

@@ -22,6 +22,16 @@ def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
     """Construct the model from a config tree (cfg → kwargs mapping mirrors
     reference models/__init__.py:37-52)."""
     name = cfg.MODEL.ARCH
+    if name in ARCH_ZOO:
+        # named zoo convenience: MODEL.ARCH 'vil_small' selects the released
+        # configuration's ARCH string
+        was_frozen = cfg.is_frozen()
+        if was_frozen:
+            cfg.defrost()
+        cfg.MODEL.VIT.MSVIT.ARCH = ARCH_ZOO[name]
+        if was_frozen:
+            cfg.freeze()
+        name = "msvit"
     if name not in MODEL_REGISTRY:
         raise ValueError(f"Unimplemented model architecture: {name}")
     if dtype is None:
