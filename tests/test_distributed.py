@@ -110,3 +110,45 @@ def test_target_map_accuracy():
     # wrong target: top-1 miss, top-5 hit (6 classes, top5 covers 5)
     correct2 = engine.topk_correct(logits, jnp.asarray([1, 1]), (1, 5), valid, overlap)
     assert correct2[0, 0] == 0.0
+
+
+def test_fsdp_sharded_step_matches_replicated(setup):
+    """fsdp param sharding must be numerically identical to replicated."""
+    model, tx, state = setup
+    step = engine.make_train_step(model, L.cross_entropy, tx, random_shift=False)
+    mesh = parallel.create_mesh((-1,), ("data",))
+    images = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    targets = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+    rng = jax.random.PRNGKey(7)
+
+    # replicated baseline
+    rep = parallel.jit_train_step(step, mesh, donate_state=False)
+    s_rep, m_rep = rep(
+        parallel.replicate(mesh, state),
+        parallel.shard_batch(mesh, images),
+        parallel.shard_batch(mesh, targets),
+        parallel.replicate(mesh, rng),
+    )
+
+    # fsdp-sharded state (min_size=0: shard everything shardable)
+    state_sh = parallel.fsdp_sharding(mesh, state, min_size=0)
+    fsdp = parallel.jit_train_step(
+        step, mesh, donate_state=False, state_shardings=state_sh
+    )
+    s_f, m_f = fsdp(
+        parallel.shard_like(state, state_sh),
+        parallel.shard_batch(mesh, images),
+        parallel.shard_batch(mesh, targets),
+        parallel.replicate(mesh, rng),
+    )
+    assert abs(float(m_rep["loss"]) - float(m_f["loss"])) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_rep.params),
+        jax.tree_util.tree_leaves(s_f.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # at least one parameter leaf is actually sharded over devices
+    shardings = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, s_f.params)
+    )
+    assert any(not s.is_fully_replicated for s in shardings)

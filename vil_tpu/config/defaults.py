@@ -168,6 +168,9 @@ _k(TPU, "USE_PALLAS", True)
 # mesh axes: data / fsdp-style model sharding (data-parallel reference: §2.12)
 _k(TPU, "MESH_SHAPE", [-1])  # -1 = all devices on the 'data' axis
 _k(TPU, "MESH_AXES", ["data"])
+# parameter placement: 'replicated' (pure DP) or 'fsdp' (ZeRO-3-style
+# sharding of params + optimizer state over the data axis)
+_k(TPU, "PARAM_SHARDING", "replicated")
 # rematerialisation policy for the train step: '', 'minimal', 'full'
 _k(TPU, "REMAT", "")
 # seed for jax PRNG streams

@@ -20,3 +20,6 @@ __all__ = [
     "replicated",
     "shard_batch",
 ]
+from .mesh import fsdp_sharding, shard_like  # noqa: E402,F401
+
+__all__ += ["fsdp_sharding", "shard_like"]

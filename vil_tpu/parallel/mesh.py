@@ -64,19 +64,54 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True):
-    """jit the train step with replicated state and batch-sharded inputs.
-
-    Gradients are averaged across devices implicitly: the loss is a global
-    batch mean, so XLA emits the psum over ICI (replacing DDP's bucketed
-    all-reduce, reference comm.py / engine.py:97-98).
+def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = "data",
+                  min_size: int = 2**14) -> Any:
+    """Per-leaf NamedSharding tree: shard the largest divisible dimension of
+    each big parameter over ``axis`` (ZeRO-3/fsdp-style). Small leaves stay
+    replicated. XLA inserts the all-gathers at use sites and reduce-scatters
+    for the gradients — no hand-written collectives.
     """
-    state_s = replicated(mesh)
+    n = mesh.shape[axis]
+
+    def _shard(x):
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return replicated(mesh)
+        # largest dimension divisible by the axis size
+        cands = [(d, i) for i, d in enumerate(shape) if d % n == 0]
+        if not cands:
+            return replicated(mesh)
+        _, dim = max(cands)
+        spec = [None] * len(shape)
+        spec[dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(_shard, tree)
+
+
+def shard_like(tree: Any, shardings: Any) -> Any:
+    """device_put each leaf with its sharding from a matching tree."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings
+    )
+
+
+def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True,
+                   state_shardings=None):
+    """jit the train step with batch-sharded inputs.
+
+    State is replicated by default; pass ``state_shardings`` (e.g. built from
+    :func:`fsdp_sharding` over the TrainState) to shard parameters/optimizer
+    state instead. Gradients are averaged across devices implicitly: the loss
+    is a global batch mean, so XLA emits the psum over ICI (replacing DDP's
+    bucketed all-reduce, reference comm.py / engine.py:97-98).
+    """
+    state_s = state_shardings if state_shardings is not None else replicated(mesh)
     data_s = batch_sharding(mesh, axis)
     return jax.jit(
         train_step,
-        in_shardings=(state_s, data_s, data_s, state_s),
-        out_shardings=(state_s, state_s),
+        in_shardings=(state_s, data_s, data_s, replicated(mesh)),
+        out_shardings=(state_s, replicated(mesh)),
         donate_argnums=(0,) if donate_state else (),
     )
 

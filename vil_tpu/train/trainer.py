@@ -101,7 +101,12 @@ class Trainer:
         self.lr_schedule = get_lr_schedule(cfg) or cfg.OPTIM.LR
         self.tx = lr_scalable(get_opt(cfg, init_state.params, lr=self.lr_schedule))
         self.state = init_state.replace(opt_state=self.tx.init(init_state.params))
-        self.state = parallel.replicate(self.mesh, self.state)
+        if cfg.TPU.PARAM_SHARDING == "fsdp":
+            self.state_shardings = parallel.fsdp_sharding(self.mesh, self.state)
+            self.state = parallel.shard_like(self.state, self.state_shardings)
+        else:
+            self.state_shardings = None
+            self.state = parallel.replicate(self.mesh, self.state)
 
         # checkpointing
         self.checkpointer = Checkpointer(
@@ -131,7 +136,8 @@ class Trainer:
                 random_shift=random_shift, mixup_fn=self.mixup_fn,
             )
             self._train_steps[random_shift] = parallel.jit_train_step(
-                step, self.mesh, donate_state=False
+                step, self.mesh, donate_state=False,
+                state_shardings=self.state_shardings,
             )
         return self._train_steps[random_shift]
 
