@@ -93,6 +93,7 @@ def test_sharded_eval_step(setup):
         parallel.replicate(mesh, state.variables()),
         parallel.shard_batch(mesh, images),
         parallel.shard_batch(mesh, targets),
+        parallel.shard_batch(mesh, jnp.ones((16,), jnp.float32)),
     )
     assert float(m["count"]) == 16.0
     assert 0 <= float(m["top1_sum"]) <= 16

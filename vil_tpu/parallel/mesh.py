@@ -121,6 +121,24 @@ def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
     data_s = batch_sharding(mesh, axis)
     return jax.jit(
         eval_step,
-        in_shardings=(state_s, data_s, data_s),
+        in_shardings=(state_s, data_s, data_s, data_s),
         out_shardings=state_s,
     )
+
+
+def pad_batch(arrs, multiple: int):
+    """Zero-pad leading dims to a multiple (ragged final eval batches);
+    returns (padded arrays..., valid float mask)."""
+    b = arrs[0].shape[0]
+    target = -(-b // multiple) * multiple
+    pad = target - b
+    valid = np.ones((target,), dtype=np.float32)
+    if pad:
+        valid[b:] = 0.0
+        arrs = [
+            np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], dtype=a.dtype)], axis=0
+            )
+            for a in (np.asarray(a) for a in arrs)
+        ]
+    return list(arrs), valid

@@ -136,20 +136,30 @@ def make_eval_step(
     target_valid: Optional[np.ndarray] = None,
     overlap_boost: Optional[np.ndarray] = None,
     return_scores: bool = False,
+    per_sample_criterion: Optional[Callable] = None,
 ) -> Callable:
-    def eval_step(variables, images, targets):
+    """Eval step over a PADDED batch: ``valid`` is a float mask (B,) marking
+    real samples (ragged last batches are padded to a device-divisible size
+    by the caller). Loss uses the per-sample criterion under masking when
+    available; otherwise the batch criterion (exact on full batches)."""
+
+    def eval_step(variables, images, targets, valid):
         logits = model.apply(variables, images, deterministic=True).astype(
             jnp.float32
         )
-        loss = criterion(logits, targets)
+        n_valid = jnp.maximum(valid.sum(), 1.0)
+        if per_sample_criterion is not None:
+            loss = jnp.sum(per_sample_criterion(logits, targets) * valid) / n_valid
+        else:
+            loss = criterion(logits, targets)
         correct = topk_correct(
             logits, targets, (1, 5), target_valid, overlap_boost
-        )
+        ) * valid[:, None]
         metrics = {
             "loss": loss,
             "top1_sum": correct[:, 0].sum(),
             "top5_sum": correct[:, 1].sum(),
-            "count": jnp.asarray(targets.shape[0], jnp.float32),
+            "count": n_valid,
         }
         if return_scores:
             metrics["scores"] = correct

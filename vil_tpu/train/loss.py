@@ -101,6 +101,35 @@ def mse(preds: jax.Array, targets: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(preds - targets))
 
 
+def cross_entropy_per_sample(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(
+        logp, targets[:, None].astype(jnp.int32), axis=-1
+    )[:, 0]
+
+
+def label_smoothing_per_sample(
+    logits: jax.Array, targets: jax.Array, epsilon: float = 0.1
+) -> jax.Array:
+    n = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    uniform = -jnp.sum(logp, axis=-1) / n
+    nll = cross_entropy_per_sample(logits, targets)
+    return epsilon * uniform + (1.0 - epsilon) * nll
+
+
+def get_per_sample_criterion(cfg):
+    """Per-sample eval loss (for masked/padded eval batches). Returns None
+    for losses without a per-sample decomposition in this zoo."""
+    name = cfg.LOSS.LOSS
+    if name != "xentropy":
+        return None
+    if cfg.AUG.MIXUP_PROB > 0.0 or cfg.LOSS.LABEL_SMOOTHING <= 0.0:
+        return cross_entropy_per_sample
+    eps = cfg.LOSS.LABEL_SMOOTHING
+    return lambda lo, t: label_smoothing_per_sample(lo, t, eps)
+
+
 def get_criterion(cfg, train: bool = True) -> Criterion:
     """Reference dispatch (loss.py:118-142)."""
     name = cfg.LOSS.LOSS

@@ -153,10 +153,13 @@ class Trainer:
                 target_valid, overlap = engine.build_target_map_arrays(
                     tmap, max(tmap) + 1, self.cfg.DATA.NUM_CLASSES
                 )
+            from .loss import get_per_sample_criterion
+
             estep = engine.make_eval_step(
                 self.model, self.criterion_eval, target_valid, overlap,
                 return_scores=bool(self.cfg.EVALUATE)
                 or bool(self.cfg.OUTPUT_PERCLASS_ACC),
+                per_sample_criterion=get_per_sample_criterion(self.cfg),
             )
             self._eval_step = parallel.jit_eval_step(estep, self.mesh)
         return self._eval_step
@@ -217,15 +220,21 @@ class Trainer:
         nbatch = 0
         collect = bool(self.cfg.EVALUATE) or bool(self.cfg.OUTPUT_PERCLASS_ACC)
         all_scores, all_targets = [], []
+        n_dev = int(self.mesh.devices.size)
         for images, targets_np in loader:
+            nreal = len(targets_np)
+            (images, targets_pad), valid = parallel.mesh.pad_batch(
+                [images, targets_np], n_dev
+            )
             images = parallel.shard_batch(self.mesh, jnp.asarray(images))
-            targets = parallel.shard_batch(self.mesh, jnp.asarray(targets_np))
-            m = eval_step(variables, images, targets)
+            targets = parallel.shard_batch(self.mesh, jnp.asarray(targets_pad))
+            valid = parallel.shard_batch(self.mesh, jnp.asarray(valid))
+            m = eval_step(variables, images, targets, valid)
             for k in totals:
                 totals[k] += float(m[k])
             nbatch += 1
             if collect and "scores" in m:
-                all_scores.append(np.asarray(m["scores"]))
+                all_scores.append(np.asarray(m["scores"])[:nreal])
                 all_targets.append(np.asarray(targets_np))
         top1 = 100.0 * totals["top1_sum"] / max(totals["count"], 1)
         top5 = 100.0 * totals["top5_sum"] / max(totals["count"], 1)
