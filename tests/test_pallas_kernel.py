@@ -175,3 +175,56 @@ def test_vil_attention_module_fused_matches_xla(rpe, nglo):
     g_fused = jax.grad(lambda p: loss(make(True), p))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nglo,with_bias,H", [(1, True, 2), (0, False, 4), (2, False, 1)])
+def test_pallas_mh_matches_xla(nglo, with_bias, H):
+    """Multi-head kernel (channel-packed layout) vs the XLA reference."""
+    B, mx, my, w, M = 2, 3, 3, 3, 8
+    C = H * M
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 2, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    q = jax.random.normal(ks[0], (B, mx, my, w2, C))
+    k = jax.random.normal(ks[1], (B, mx, my, w2, C))
+    v = jax.random.normal(ks[2], (B, mx, my, w2, C))
+    kg = jax.random.normal(ks[3], (B, nglo, C)) if nglo else None
+    vg = jax.random.normal(ks[4], (B, nglo, C)) if nglo else None
+    bias = (
+        jax.random.normal(ks[5], (H, w2, nglo + 9 * w2)) * 0.5 if with_bias else None
+    )
+    out_p = vil_kernel._pallas_forward_mh(
+        q, k, v, kg, vg, bias, mask_add, H, interpret=True
+    )
+    out_x = vil_kernel._xla_reference_mh(q, k, v, kg, vg, bias, mask_add, H)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_mh_custom_vjp_grads():
+    B, mx, my, w, M, H, nglo = 1, 3, 3, 2, 4, 2, 1
+    C = H * M
+    w2 = w * w
+    mask_add = vil_kernel.mask_to_additive(
+        masks_lib.invalid_mask(mx, my, 1, 1, w, 0, 0), mx, my, w2, nglo
+    )
+    ks = jax.random.split(jax.random.PRNGKey(6), 6)
+    q = jax.random.normal(ks[0], (B, mx, my, w2, C))
+    k = jax.random.normal(ks[1], (B, mx, my, w2, C))
+    v = jax.random.normal(ks[2], (B, mx, my, w2, C))
+    kg = jax.random.normal(ks[3], (B, nglo, C))
+    vg = jax.random.normal(ks[4], (B, nglo, C))
+    bias = jax.random.normal(ks[5], (H, w2, nglo + 9 * w2)) * 0.5
+    fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
+
+    gf = jax.grad(lambda *a: jnp.sum(fused(*a) ** 2), argnums=(0, 1, 2, 3, 4, 5))(
+        q, k, v, kg, vg, bias
+    )
+    gx = jax.grad(
+        lambda *a: jnp.sum(vil_kernel._xla_reference_mh(*a, mask_add, H) ** 2),
+        argnums=(0, 1, 2, 3, 4, 5),
+    )(q, k, v, kg, vg, bias)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)

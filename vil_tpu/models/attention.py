@@ -237,35 +237,32 @@ class VilAttention(nn.Module):
             name="proj",
         )
 
-        # local attention: queries are local tokens, keys/values all tokens
-        q = _split_heads(query(x[:, Nglo:]), H) * scale  # (B, H, Nloc, M)
-        k, v = (
-            _split_heads(t, H) for t in jnp.split(kv(x), 2, axis=-1)
-        )  # (B, H, N, M)
-        k_glo, v_glo = k[:, :, :Nglo], v[:, :, :Nglo]
+        # local attention: queries are local tokens, keys/values all tokens.
+        # Token-level (B, N, C) tensors throughout; per-head views are taken
+        # lazily via reshape inside einsums ('bnhm' forms) so no head-split
+        # transpose is ever materialized on the hot path.
+        q_tok = query(x[:, Nglo:]) * scale  # (B, Nloc, C)
+        k_tok, v_tok = jnp.split(kv(x), 2, axis=-1)  # (B, N, C)
+        heads4 = lambda t: t.reshape(t.shape[0], t.shape[1], H, M)
+        kg_tok, vg_tok = k_tok[:, :Nglo], v_tok[:, :Nglo]
 
         if self.only_glo:
             # NOTE: the reference adds no RPE bias on the only-global path
             # (longformer2d.py:130-132 bypasses the rpe block at :159).
             attn1 = jnp.einsum(
-                "bhnm,bhtm->bhnt", q, k_glo, preferred_element_type=jnp.float32
+                "bnhm,bthm->bhnt", heads4(q_tok), heads4(kg_tok),
+                preferred_element_type=jnp.float32,
             )
             probs = _softmax_max_sub(attn1)
             probs = nn.Dropout(self.attn_drop)(probs, deterministic=deterministic)
             x1 = jnp.einsum(
-                "bhnt,bhtm->bhnm",
+                "bhnt,bthm->bnhm",
                 probs.astype(self.dtype),
-                v_glo,
+                heads4(vg_tok),
                 preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
+            ).astype(self.dtype).reshape(B, Nloc, C)
         else:
             padx, pady, mx, my = sc.chunk_grid(nx, ny, W)
-            chunk = lambda t: sc.chunkify(
-                t.reshape(B * H, Nloc, M), nx, ny, W
-            ).reshape(B, H, mx, my, W2, M)
-            q_img = chunk(q)
-            k_img = chunk(k[:, :, Nglo:])
-            v_img = chunk(v[:, :, Nglo:])
 
             # Fused Pallas path: full-neighborhood mode, no attention dropout
             # (all reference configs train with attn_drop=0). Falls back to
@@ -294,19 +291,26 @@ class VilAttention(nn.Module):
                     else:
                         bias_full = local_bias
                     bias_full = bias_full.astype(jnp.float32)
-                fused = vil_kernel.make_fused_vil_attention(mask_add)
-                bhview = lambda t: t.reshape(B * H, mx, my, W2, M)
+                fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
                 x1 = fused(
-                    bhview(q_img),
-                    bhview(k_img),
-                    bhview(v_img),
-                    k_glo.reshape(B * H, Nglo, M) if Nglo >= 1 else None,
-                    v_glo.reshape(B * H, Nglo, M) if Nglo >= 1 else None,
+                    sc.chunkify(q_tok, nx, ny, W),
+                    sc.chunkify(k_tok[:, Nglo:], nx, ny, W),
+                    sc.chunkify(v_tok[:, Nglo:], nx, ny, W),
+                    kg_tok if Nglo >= 1 else None,
+                    vg_tok if Nglo >= 1 else None,
                     bias_full,
                 )
-                x1 = sc.unchunkify(x1, nx, ny, W).reshape(B, H, Nloc, M)
+                x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
             else:
                 # pure-XLA tier (also handles mode != 0 and attn dropout)
+                chunk = lambda t4: sc.chunkify(
+                    t4.transpose(0, 2, 1, 3).reshape(B * H, -1, M), nx, ny, W
+                ).reshape(B, H, mx, my, W2, M)
+                q_img = chunk(heads4(q_tok))
+                k_img = chunk(heads4(k_tok[:, Nglo:]))
+                v_img = chunk(heads4(v_tok[:, Nglo:]))
+                k_glo = heads4(kg_tok).transpose(0, 2, 1, 3)  # (B, H, Nglo, M)
+                v_glo = heads4(vg_tok).transpose(0, 2, 1, 3)
                 # local→global scores: (B, H, mx, my, W², Nglo)
                 attn10 = jnp.einsum(
                     "bhmnlc,bhtc->bhmnlt", q_img, k_glo,
@@ -364,9 +368,9 @@ class VilAttention(nn.Module):
                 x1 = sc.unchunkify(
                     x1.reshape(B * H, mx, my, W2, M), nx, ny, W
                 ).reshape(B, H, Nloc, M)
+                x1 = _merge_heads(x1.astype(self.dtype))  # (B, Nloc, C)
 
-        x1 = _merge_heads(x1.astype(self.dtype))
-        x1 = proj(x1)
+        x1 = proj(x1.astype(self.dtype))
 
         if Nglo == 0:
             return nn.Dropout(self.proj_drop)(x1, deterministic=deterministic)
@@ -378,7 +382,7 @@ class VilAttention(nn.Module):
             # kv_global ≡ kv when weights are shared: reuse the local
             # branch's K/V instead of recomputing the (N, 2C) projection
             # (the reference recomputes it — numerically identical)
-            kg, vg = k, v
+            kg4, vg4 = heads4(k_tok), heads4(v_tok)
         else:
             query_g = dense(self.dim, "query_global")
             kv_g = dense(2 * self.dim, "kv_global")
@@ -389,10 +393,10 @@ class VilAttention(nn.Module):
                 kernel_init=trunc_normal_init,
                 name="proj_global",
             )
-            kg, vg = (_split_heads(t, H) for t in jnp.split(kv_g(x), 2, axis=-1))
-        qg = _split_heads(query_g(x[:, :Nglo]), H) * scale
+            kg4, vg4 = (heads4(t) for t in jnp.split(kv_g(x), 2, axis=-1))
+        qg4 = heads4(query_g(x[:, :Nglo]) * scale)
         attn0 = jnp.einsum(
-            "bhnm,bhtm->bhnt", qg, kg, preferred_element_type=jnp.float32
+            "bnhm,bthm->bhnt", qg4, kg4, preferred_element_type=jnp.float32
         )
         if self.rpe:
             bias = jnp.concatenate(
@@ -402,12 +406,12 @@ class VilAttention(nn.Module):
         probs0 = _softmax_max_sub(attn0)
         probs0 = nn.Dropout(self.attn_drop)(probs0, deterministic=deterministic)
         x0 = jnp.einsum(
-            "bhnt,bhtm->bhnm",
+            "bhnt,bthm->bnhm",
             probs0.astype(self.dtype),
-            vg,
+            vg4,
             preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
-        x0 = proj_g(_merge_heads(x0))
+        ).astype(self.dtype).reshape(B, Nglo, C)
+        x0 = proj_g(x0)
 
         out = jnp.concatenate([x0, x1], axis=1)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

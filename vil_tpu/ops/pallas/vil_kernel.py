@@ -123,6 +123,225 @@ def _kernel(nglo: int, w2: int, my: int, has_bias: bool, *refs):
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
+def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *refs):
+    """Multi-head kernel body: blocks carry the FULL channel dim C = H·M and
+    heads are looped in-register (static unroll). This keeps the lane dim at
+    C (e.g. 96) for every HBM↔VMEM transfer — the head split never
+    materializes outside the kernel. refs layout as in _kernel but with
+    (…, C) blocks and bias (H, W2, cols)."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_refs = refs[i : i + 3]; i += 3
+    v_refs = refs[i : i + 3]; i += 3
+    if nglo > 0:
+        kg_ref = refs[i]; i += 1
+        vg_ref = refs[i]; i += 1
+    if has_bias:
+        bias_ref = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]
+
+    def nbh(rows):
+        parts = []
+        for dx, dy in NEIGHBOR_OFFSETS:
+            r = rows[dx + 1]
+            if dy != 0 and my > 1:
+                s = dy % my
+                r = jnp.concatenate([r[s:], r[:s]], axis=0)
+            parts.append(r)
+        return jnp.concatenate(parts, axis=1)
+
+    k_nbh = nbh([kr[0, 0] for kr in k_refs])  # (my, 9W2, C)
+    v_nbh = nbh([vr[0, 0] for vr in v_refs])
+    q_row = q_ref[0, 0]  # (my, W2, C)
+    C = q_row.shape[-1]
+    M = C // num_heads
+    mask = mask_ref[0]
+
+    for h in range(num_heads):
+        hs = h * M
+        q_h = q_row[..., hs : hs + M]
+        k_h = k_nbh[..., hs : hs + M]
+        v_h = v_nbh[..., hs : hs + M]
+        scores = jax.lax.dot_general(
+            q_h, k_h.astype(q_h.dtype), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (my, W2, 9W2)
+        if nglo > 0:
+            kg = kg_ref[0][:, hs : hs + M].astype(jnp.float32)  # (Nglo, M)
+            qf = q_h.astype(jnp.float32)
+            sg = jnp.sum(qf[:, :, None, :] * kg[None, None, :, :], axis=-1)
+            scores = jnp.concatenate([sg, scores], axis=-1)
+        if has_bias:
+            scores = scores + bias_ref[h][None]
+        scores = scores + mask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q_h.dtype)
+        acc = jax.lax.dot_general(
+            probs[..., nglo:], v_h.astype(probs.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if nglo > 0:
+            pg = probs[..., :nglo].astype(jnp.float32)
+            vg = vg_ref[0][:, hs : hs + M].astype(jnp.float32)
+            acc = acc + jnp.sum(pg[:, :, :, None] * vg[None, None, :, :], axis=2)
+        out_ref[0, 0, :, :, hs : hs + M] = acc.astype(out_ref.dtype)
+
+
+def _pallas_forward_mh(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_glo: Optional[jax.Array],
+    v_glo: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    mask_add: np.ndarray,
+    num_heads: int,
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-head entry: q,k,v (B, mx, my, W², C); k_glo/v_glo (B, Nglo, C);
+    bias (H, W², Nglo+9W²) or None. Returns (B, mx, my, W², C)."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = nglo + 9 * w2
+    if interpret is None:
+        interpret = INTERPRET
+
+    row_block = (1, 1, my, w2, C)
+    q_spec = pl.BlockSpec(
+        row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def row_spec(dx):
+        return pl.BlockSpec(
+            row_block,
+            lambda b, i, dx=dx: (b, (i + dx) % mx, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [q_spec]
+    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+    operands = [q, k, k, k, v, v, v]
+    if nglo > 0:
+        glo_spec = pl.BlockSpec(
+            (1, nglo, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [glo_spec, glo_spec]
+        operands += [k_glo, v_glo]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec(
+                (num_heads, w2, cols), lambda b, i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(bias.astype(jnp.float32))
+    wq = mask_add.shape[2]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, my, wq, cols), lambda b, i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    operands.append(jnp.asarray(mask_add, dtype=jnp.float32))
+
+    flops_cell = 2 * my * w2 * cols * C * 2
+    kernel = functools.partial(_mh_kernel, nglo, w2, my, num_heads, has_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, mx),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_cell * B * mx,
+            bytes_accessed=(q.size + 7 * k.size) * q.dtype.itemsize,
+            transcendentals=B * mx * my * w2 * cols * num_heads,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _xla_reference_mh(q, k, v, k_glo, v_glo, bias, mask_add, num_heads):
+    """Multi-head wrapper over _xla_reference: (B, …, C) → (B·H, …, M)."""
+    B, mx, my, w2, C = q.shape
+    M = C // num_heads
+
+    def to_bh(t):
+        b, a1, a2, a3, _ = t.shape
+        return (
+            t.reshape(b, a1, a2, a3, num_heads, M)
+            .transpose(0, 4, 1, 2, 3, 5)
+            .reshape(b * num_heads, a1, a2, a3, M)
+        )
+
+    def glo_to_bh(t):
+        if t is None:
+            return None
+        b, g, _ = t.shape
+        return (
+            t.reshape(b, g, num_heads, M)
+            .transpose(0, 2, 1, 3)
+            .reshape(b * num_heads, g, M)
+        )
+
+    out = _xla_reference(
+        to_bh(q), to_bh(k), to_bh(v), glo_to_bh(k_glo), glo_to_bh(v_glo),
+        bias, mask_add,
+    )
+    return (
+        out.reshape(B, num_heads, mx, my, w2, M)
+        .transpose(0, 2, 3, 4, 1, 5)
+        .reshape(B, mx, my, w2, C)
+    )
+
+
+def make_fused_vil_attention_mh(
+    mask_add: np.ndarray, num_heads: int, use_pallas: bool = True
+):
+    """Multi-head fused attention with custom VJP (Pallas fwd, XLA-recompute
+    bwd). Layout (B, mx, my, W², C) — no head split outside the kernel."""
+    mask_add = np.asarray(mask_add, dtype=np.float32)
+
+    @jax.custom_vjp
+    def fused(q, k, v, k_glo, v_glo, bias):
+        if use_pallas:
+            return _pallas_forward_mh(
+                q, k, v, k_glo, v_glo, bias, mask_add, num_heads
+            )
+        return _xla_reference_mh(q, k, v, k_glo, v_glo, bias, mask_add, num_heads)
+
+    def fwd(q, k, v, k_glo, v_glo, bias):
+        return fused(q, k, v, k_glo, v_glo, bias), (q, k, v, k_glo, v_glo, bias)
+
+    def bwd(res, g):
+        q, k, v, k_glo, v_glo, bias = res
+        diff_args = tuple(a for a in (q, k, v, k_glo, v_glo, bias) if a is not None)
+
+        def wrapped(*args):
+            it = iter(args)
+            full = [next(it) if a is not None else None
+                    for a in (q, k, v, k_glo, v_glo, bias)]
+            return _xla_reference_mh(*full, mask_add, num_heads)
+
+        _, vjp = jax.vjp(wrapped, *diff_args)
+        grads = iter(vjp(g))
+        return tuple(
+            next(grads) if a is not None else None
+            for a in (q, k, v, k_glo, v_glo, bias)
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 def _pallas_forward(
     q: jax.Array,
     k: jax.Array,
