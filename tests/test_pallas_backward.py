@@ -1,0 +1,66 @@
+"""Pallas two-pass backward vs jax.vjp of the XLA reference (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vil_tpu.ops import masks as masks_lib
+from vil_tpu.ops.pallas import vil_backward, vil_kernel
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(vil_backward, "INTERPRET", True)
+    monkeypatch.setattr(vil_kernel, "INTERPRET", True)
+
+
+@pytest.mark.parametrize(
+    "nglo,with_bias,H,mx,my", [(1, True, 2, 3, 3), (0, False, 1, 3, 4), (2, True, 2, 4, 3)]
+)
+def test_backward_matches_xla_vjp(nglo, with_bias, H, mx, my):
+    B, w, M = 2, 3, 8
+    C = H * M
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 2, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    ks = jax.random.split(jax.random.PRNGKey(7), 7)
+    q = jax.random.normal(ks[0], (B, mx, my, w2, C))
+    k = jax.random.normal(ks[1], (B, mx, my, w2, C))
+    v = jax.random.normal(ks[2], (B, mx, my, w2, C))
+    kg = jax.random.normal(ks[3], (B, nglo, C)) if nglo else None
+    vg = jax.random.normal(ks[4], (B, nglo, C)) if nglo else None
+    bias = (
+        jax.random.normal(ks[5], (H, w2, nglo + 9 * w2)) * 0.3 if with_bias else None
+    )
+    g = jax.random.normal(ks[6], (B, mx, my, w2, C))
+
+    dq, dk, dv, dkg, dvg, dbias = vil_backward.vil_attention_backward(
+        q, k, v, kg, vg, bias, g, mask_add, H, interpret=True
+    )
+
+    diff_args = tuple(a for a in (q, k, v, kg, vg, bias) if a is not None)
+
+    def wrapped(*args):
+        it = iter(args)
+        full = [next(it) if a is not None else None
+                for a in (q, k, v, kg, vg, bias)]
+        return vil_kernel._xla_reference_mh(*full, mask_add, H)
+
+    _, vjp = jax.vjp(wrapped, *diff_args)
+    ref_grads = iter(vjp(g))
+    ref = {
+        name: (next(ref_grads) if a is not None else None)
+        for name, a in zip(
+            ("dq", "dk", "dv", "dkg", "dvg", "dbias"), (q, k, v, kg, vg, bias)
+        )
+    }
+    for name, ours in (("dq", dq), ("dk", dk), ("dv", dv), ("dkg", dkg),
+                       ("dvg", dvg), ("dbias", dbias)):
+        theirs = ref[name]
+        if theirs is None:
+            assert ours is None or name in ("dkg", "dvg", "dbias")
+            continue
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(theirs), atol=2e-4, rtol=2e-4,
+            err_msg=name,
+        )

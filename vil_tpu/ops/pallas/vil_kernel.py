@@ -304,10 +304,12 @@ def _xla_reference_mh(q, k, v, k_glo, v_glo, bias, mask_add, num_heads):
 
 
 def make_fused_vil_attention_mh(
-    mask_add: np.ndarray, num_heads: int, use_pallas: bool = True
+    mask_add: np.ndarray, num_heads: int, use_pallas: bool = True,
+    pallas_bwd: bool = True,
 ):
-    """Multi-head fused attention with custom VJP (Pallas fwd, XLA-recompute
-    bwd). Layout (B, mx, my, W², C) — no head split outside the kernel."""
+    """Multi-head fused attention with custom VJP. Layout (B, mx, my, W², C)
+    — no head split outside the kernel. Backward: two-pass Pallas kernels
+    (vil_backward) by default, XLA-recompute otherwise."""
     mask_add = np.asarray(mask_add, dtype=np.float32)
 
     @jax.custom_vjp
@@ -323,6 +325,20 @@ def make_fused_vil_attention_mh(
 
     def bwd(res, g):
         q, k, v, k_glo, v_glo, bias = res
+        if use_pallas and pallas_bwd:
+            from .vil_backward import vil_attention_backward
+
+            dq, dk, dv, dkg, dvg, dbias = vil_attention_backward(
+                q, k, v, k_glo, v_glo, bias, g, mask_add, num_heads
+            )
+            if bias is not None:
+                dbias = dbias.astype(bias.dtype)
+            return (
+                dq, dk, dv,
+                dkg if k_glo is not None else None,
+                dvg if v_glo is not None else None,
+                dbias if bias is not None else None,
+            )
         diff_args = tuple(a for a in (q, k, v, k_glo, v_glo, bias) if a is not None)
 
         def wrapped(*args):
