@@ -239,9 +239,11 @@ class Trainer:
         top1 = 100.0 * totals["top1_sum"] / max(totals["count"], 1)
         top5 = 100.0 * totals["top5_sum"] / max(totals["count"], 1)
         loss = totals["loss"] / max(nbatch, 1)
+        from ..utils.profiling import peak_memory_mb
+
         logger.info(
-            "eval: top1 %.3f top5 %.3f loss %.4f (%d images)",
-            top1, top5, loss, int(totals["count"]),
+            "eval: top1 %.3f top5 %.3f loss %.4f (%d images, peak HBM %.0f MB)",
+            top1, top5, loss, int(totals["count"]), peak_memory_mb(),
         )
         if collect and all_scores:
             scores = np.concatenate(all_scores)
