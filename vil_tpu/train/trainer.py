@@ -80,6 +80,13 @@ class Trainer:
         )
         self.trainloader = None
         if not cfg.EVALUATE:
+            n_dev = int(self.mesh.devices.size)
+            if cfg.DATALOADER.BSZ % n_dev != 0:
+                raise ValueError(
+                    f"DATALOADER.BSZ ({cfg.DATALOADER.BSZ}) must be divisible "
+                    f"by the number of devices ({n_dev}) for training "
+                    f"(eval pads ragged batches; the train loop does not)"
+                )
             self.trainloader = make_epoch_data_loader(cfg, is_train=True)
             if cfg.SOLVER.STEPS_PER_EPOCH == 0:
                 was_frozen = cfg.is_frozen()
