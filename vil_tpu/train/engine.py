@@ -61,7 +61,7 @@ def topk_correct(
             overlap_boost, logits.dtype
         )
         logits = logits + boost[None]
-    maxk = max(topk)
+    maxk = min(max(topk), logits.shape[-1])
     _, pred = jax.lax.top_k(logits, maxk)  # (B, maxk)
     if target_valid is None:
         correct = pred == targets[:, None]
@@ -69,7 +69,11 @@ def topk_correct(
         valid = jnp.asarray(target_valid)
         correct = valid[targets][jnp.arange(pred.shape[0])[:, None], pred]
     return jnp.stack(
-        [jnp.any(correct[:, :k], axis=1).astype(jnp.float32) for k in topk], axis=1
+        [
+            jnp.any(correct[:, : min(k, maxk)], axis=1).astype(jnp.float32)
+            for k in topk
+        ],
+        axis=1,
     )  # (B, len(topk))
 
 
