@@ -108,6 +108,10 @@ class Checkpointer:
             path = self.get_checkpoint_file()
         if not path:
             logger.info("No checkpoint found. Initializing model from scratch")
+            # save the random init so a crash before the first epoch can
+            # still resume deterministically (reference checkpoint.py:206-211)
+            if not self.is_test and self.save_dir:
+                self.save("model_init", state, epoch=0)
             return state, {}
         if not op.isfile(path) and self.data_dir:
             alt = op.join(self.data_dir, path)
