@@ -141,3 +141,25 @@ def test_remat_matches_baseline():
     gr = jax.grad(lambda p: loss(rematted, p))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sticky_full_attention_after_s0_stage():
+    """Reference semantics: the shared attn_args dict makes s=0 sticky —
+    every stage after the first s=0 stage is full attention even with s=1
+    (msvit.py:460-461)."""
+    arch = "l1,h1,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s0,g1,p2,f2_l3,h2,d32,n1,s1,g0,p2,f2"
+    model = MsViT(arch=arch, img_size=32, num_classes=10,
+                  attn_type="longformerhand", sharew=True)
+    x = jnp.ones((1, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    p = variables["params"]
+    # stage1 sparse -> separate query/kv; stages 2 AND 3 full -> fused qkv
+    assert "query" in p["stage1_block0_attn"]["attn"]
+    assert "qkv" in p["stage2_block0_attn"]["attn"]
+    assert "qkv" in p["stage3_block0_attn"]["attn"], (
+        "stage 3 must be full attention (sticky s=0)"
+    )
+    from vil_tpu.ops.flops import model_macs
+
+    r = model_macs(arch, 32, "longformerhand", num_classes=10)
+    assert r["params"] > 0  # flops module agrees structurally (no crash)

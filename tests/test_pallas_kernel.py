@@ -19,7 +19,7 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setattr(vil_kernel, "INTERPRET", True)
 
 
-def _random_inputs(key, BH, mx, my, w, M, nglo, with_bias, H=2):
+def _random_inputs(key, BH, mx, my, w, M, nglo, with_bias, H=1):
     w2 = w * w
     ks = jax.random.split(key, 6)
     q = jax.random.normal(ks[0], (BH, mx, my, w2, M))
@@ -44,8 +44,8 @@ def test_pallas_matches_xla(nglo, with_bias, exact):
     q, k, v, k_glo, v_glo, bias = _random_inputs(
         jax.random.PRNGKey(0), BH, mx, my, w, M, nglo, with_bias
     )
-    out_pallas = vil_kernel._pallas_forward(
-        q, k, v, k_glo, v_glo, bias, mask_add, interpret=True
+    out_pallas = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
     )
     out_xla = vil_kernel._xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
     np.testing.assert_allclose(
@@ -62,8 +62,8 @@ def test_pallas_matches_xla_exact_mask():
     q, k, v, k_glo, v_glo, bias = _random_inputs(
         jax.random.PRNGKey(1), BH, mx, my, w, M, nglo, True
     )
-    out_pallas = vil_kernel._pallas_forward(
-        q, k, v, k_glo, v_glo, bias, mask_add, interpret=True
+    out_pallas = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
     )
     out_xla = vil_kernel._xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
     np.testing.assert_allclose(
@@ -79,7 +79,7 @@ def test_fused_custom_vjp_grads_match_xla():
     q, k, v, k_glo, v_glo, bias = _random_inputs(
         jax.random.PRNGKey(2), BH, mx, my, w, M, nglo, True
     )
-    fused = vil_kernel.make_fused_vil_attention(mask_add, use_pallas=True)
+    fused = vil_kernel.make_fused_vil_attention_mh(mask_add, 1)
 
     def loss_fused(*args):
         return jnp.sum(fused(*args) ** 2)
@@ -112,8 +112,8 @@ def test_fused_matches_dense_reference_end_to_end():
     mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, w, 0, 0)
     mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
     qc, kc, vc = (sc.chunkify(t, nx, ny, w) for t in (q_tok, k_tok, v_tok))
-    out = vil_kernel._pallas_forward(
-        qc, kc, vc, k_glo, v_glo, None, mask_add, interpret=True
+    out = vil_kernel._pallas_forward_mh(
+        qc, kc, vc, k_glo, v_glo, None, mask_add, 1, interpret=True
     )
     out = sc.unchunkify(out, nx, ny, w)
 

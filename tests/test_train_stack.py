@@ -250,3 +250,35 @@ def test_get_lr_schedule_from_cfg():
     assert float(sched(0)) < cfg.OPTIM.LR  # warmup start
     cfg.SOLVER.LR_POLICY = "nope"
     assert S.get_lr_schedule(cfg) is None
+
+
+def test_epoch_based_schedule_advances_per_epoch():
+    """EPOCH_BASED_SCHEDULE schedules are evaluated with the optimizer STEP
+    count but must advance once per epoch (reference steps them per epoch)."""
+    cfg = get_default_cfg()
+    cfg.SOLVER.LR_POLICY = "cosine"
+    cfg.SOLVER.EPOCH_BASED_SCHEDULE = True
+    cfg.SOLVER.WARMUP_EPOCHS = 2.0
+    cfg.SOLVER.STEPS_PER_EPOCH = 50
+    cfg.OPTIM.EPOCHS = 10
+    cfg.OPTIM.LR = 0.1
+    sched = S.get_lr_schedule(cfg)
+    # constant within an epoch
+    assert float(sched(0)) == float(sched(49))
+    assert float(sched(50)) != float(sched(49))
+    # never periodic: LR at the end is near MIN_LR, far below base
+    assert float(sched(50 * 9)) < 0.02
+    # warmup active for the first 2 epochs
+    assert float(sched(0)) < 0.1
+
+
+def test_per_sample_criteria_cover_elementwise_losses():
+    cfg = get_default_cfg()
+    for name in ("bce", "mse", "sigmoid"):
+        cfg.LOSS.LOSS = name
+        f = L.get_per_sample_criterion(cfg)
+        assert f is not None, name
+        out = f(jnp.zeros((3, 4)), jnp.zeros((3, 4)))
+        assert out.shape == (3,)
+    cfg.LOSS.LOSS = "focal"
+    assert L.get_per_sample_criterion(cfg) is None

@@ -146,20 +146,37 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer abandoned iteration
+            (otherwise the producer would block forever on a full queue)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = []
-                for batch in self._batches():
-                    if stop.is_set():
-                        break
-                    futures.append(pool.submit(load, batch))
-                    while len(futures) >= self.prefetch:
-                        q.put(futures.pop(0).result())
-                for f in futures:
-                    if stop.is_set():
-                        break
-                    q.put(f.result())
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    futures = []
+                    for batch in self._batches():
+                        if stop.is_set():
+                            break
+                        futures.append(pool.submit(load, batch))
+                        while len(futures) >= self.prefetch:
+                            if not put_or_stop(futures.pop(0).result()):
+                                break
+                    for f in futures:
+                        if stop.is_set():
+                            f.cancel()
+                            continue
+                        put_or_stop(f.result())
+                put_or_stop(None)  # end-of-epoch sentinel (no-op if stopped)
+            except BaseException as e:  # surface worker errors to the consumer
+                put_or_stop(e)
+
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -168,6 +185,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

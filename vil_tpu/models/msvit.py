@@ -233,6 +233,10 @@ class MsViT(nn.Module):
         patch_embeds = []
         stage_blocks = []
         i_block = 0
+        # the reference mutates the SHARED attn_args dict when a stage has
+        # s=0 (msvit.py:460-461), so 'full' is sticky: every stage after the
+        # first s=0 stage is full attention even if it declares s=1
+        sticky_full = False
         for sid, (c, (nx, ny)) in enumerate(zip(cfgs, grids)):
             patch_embeds.append(
                 PatchEmbed(
@@ -250,7 +254,8 @@ class MsViT(nn.Module):
                     name=f"stage{sid + 1}_patch_embed",
                 )
             )
-            attn_type = self.attn_type if c.is_sparse_attn else "full"
+            sticky_full = sticky_full or not c.is_sparse_attn
+            attn_type = "full" if sticky_full else self.attn_type
             blocks = []
             for bid in range(c.num_blocks):
                 dpr = float(dprs[i_block])

@@ -93,6 +93,7 @@ def model_macs(arch: str, img_size: int = 224, attn_type: str = "longformerhand"
     per_stage = []
     nx = ny = img_size
     cin = in_chans
+    sticky_full = False  # s=0 is sticky in the reference (msvit.py:460-461)
     for s in stages:
         before = MacCount(count.macs, count.params)
         nx //= s.patch_size
@@ -110,7 +111,8 @@ def model_macs(arch: str, img_size: int = 224, attn_type: str = "longformerhand"
             count.add(0, s.nglo * s.dim + (nx + ny) * (s.dim // 2))
         if s.nglo:
             count.add(0, s.nglo * s.dim)
-        stage_attn = attn_type if s.is_sparse_attn else "full"
+        sticky_full = sticky_full or not s.is_sparse_attn
+        stage_attn = "full" if sticky_full else attn_type
         for _ in range(s.num_blocks):
             count.add(0, 2 * s.dim)  # attn norm
             _attention_macs(count, stage_attn, s, nloc, s.dim, sharew, share_kv)

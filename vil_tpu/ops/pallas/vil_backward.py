@@ -264,7 +264,9 @@ def vil_attention_backward(
     # ---------------- XLA epilogue: dbias / d(k_glo) / d(v_glo) -------------
     dbias = None
     if has_bias:
-        dbias = jnp.sum(ds_st, axis=(0, 1, 3)).astype(jnp.float32)  # (H,W2,cols)
+        # accumulate in f32: the stash may be bf16 and this reduction spans
+        # B·mx·my terms
+        dbias = jnp.sum(ds_st, axis=(0, 1, 3), dtype=jnp.float32)  # (H,W2,cols)
     dkg = dvg = None
     if nglo > 0:
         q_h = q.reshape(B, mx, my, w2, H, C // H)

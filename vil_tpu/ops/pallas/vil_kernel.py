@@ -49,80 +49,6 @@ INTERPRET = False
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
 
-def _kernel(nglo: int, w2: int, my: int, has_bias: bool, *refs):
-    """Kernel body. refs layout:
-    [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias)?, mask_row, out_row]
-    q_row: (1, 1, my, W2, M); k/v rows: chunk rows i-1, i, i+1.
-    """
-    i = 0
-    q_ref = refs[i]; i += 1
-    k_refs = refs[i : i + 3]; i += 3
-    v_refs = refs[i : i + 3]; i += 3
-    if nglo > 0:
-        kg_ref = refs[i]; i += 1
-        vg_ref = refs[i]; i += 1
-    if has_bias:
-        bias_ref = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
-    out_ref = refs[i]
-
-    def nbh(rows):
-        """rows: 3 × (my, W2, M) → (my, 9W2, M) in NEIGHBOR_OFFSETS order."""
-        parts = []
-        for dx, dy in NEIGHBOR_OFFSETS:
-            r = rows[dx + 1]
-            if dy != 0 and my > 1:
-                # bring chunk (j+dy) to position j: STATIC cyclic roll along
-                # my via slice+concat (Mosaic's rotate op lacks bf16 support)
-                s = dy % my
-                r = jnp.concatenate([r[s:], r[:s]], axis=0)
-            parts.append(r)
-        return jnp.concatenate(parts, axis=1)
-
-    k_rows = [kr[0, 0] for kr in k_refs]  # (my, W2, M)
-    v_rows = [vr[0, 0] for vr in v_refs]
-    k_nbh = nbh(k_rows)  # (my, 9W2, M)
-    v_nbh = nbh(v_rows)
-    q_row = q_ref[0, 0]  # (my, W2, M)
-
-    # batched over the row: (my, W2, M) · (my, 9W2, M)ᵀ → (my, W2, 9W2)
-    scores_loc = jax.lax.dot_general(
-        q_row, k_nbh.astype(q_row.dtype),
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    if nglo > 0:
-        kg = kg_ref[0].astype(jnp.float32)  # (Nglo, M)
-        qf = q_row.astype(jnp.float32)
-        scores_glo = jnp.sum(
-            qf[:, :, None, :] * kg[None, None, :, :], axis=-1
-        )  # (my, W2, Nglo)
-        scores = jnp.concatenate([scores_glo, scores_loc], axis=-1)
-    else:
-        scores = scores_loc
-    if has_bias:
-        scores = scores + bias_ref[0][None]
-    scores = scores + mask_ref[0]
-
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    probs = (p / denom).astype(q_row.dtype)
-
-    acc = jax.lax.dot_general(
-        probs[..., nglo:], v_nbh.astype(probs.dtype),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (my, W2, M)
-    if nglo > 0:
-        pg = probs[..., :nglo].astype(jnp.float32)  # (my, W2, Nglo)
-        vg = vg_ref[0].astype(jnp.float32)  # (Nglo, M)
-        acc = acc + jnp.sum(
-            pg[:, :, :, None] * vg[None, None, :, :], axis=2
-        )
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
-
-
 def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *refs):
     """Multi-head kernel body: blocks carry the FULL channel dim C = H·M and
     heads are looped in-register (static unroll). This keeps the lane dim at
@@ -358,89 +284,6 @@ def make_fused_vil_attention_mh(
     return fused
 
 
-def _pallas_forward(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    k_glo: Optional[jax.Array],
-    v_glo: Optional[jax.Array],
-    bias: Optional[jax.Array],
-    mask_add: np.ndarray,
-    *,
-    interpret: Optional[bool] = None,
-) -> jax.Array:
-    """q,k,v: (BH, mx, my, W², M); k_glo/v_glo: (BH, Nglo, M) or None;
-    bias: (H, W², Nglo+9W²) or None; mask_add: np (mx, my, Wq, Nglo+9W²).
-    Returns (BH, mx, my, W², M)."""
-    BH, mx, my, w2, M = q.shape
-    nglo = 0 if k_glo is None else k_glo.shape[1]
-    has_bias = bias is not None
-    cols = nglo + 9 * w2
-    if interpret is None:
-        interpret = INTERPRET
-
-    row_block = (1, 1, my, w2, M)
-    q_spec = pl.BlockSpec(
-        row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-
-    def row_spec(dx):
-        return pl.BlockSpec(
-            row_block,
-            lambda b, i, dx=dx: (b, (i + dx) % mx, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = [q_spec]
-    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
-    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
-    operands = [q, k, k, k, v, v, v]
-    if nglo > 0:
-        glo_spec = pl.BlockSpec(
-            (1, nglo, M), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-        )
-        in_specs += [glo_spec, glo_spec]
-        operands += [k_glo, v_glo]
-    H = None
-    if has_bias:
-        H = bias.shape[0]
-        in_specs.append(
-            pl.BlockSpec(
-                (1, w2, cols), lambda b, i: (b % H, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
-        operands.append(bias.astype(jnp.float32))
-    wq = mask_add.shape[2]
-    in_specs.append(
-        pl.BlockSpec(
-            (1, my, wq, cols), lambda b, i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    )
-    # broadcast the per-chunk mask over query pixels here so the kernel adds
-    # a uniformly-shaped (my, W2-or-1, cols) tile
-    operands.append(jnp.asarray(mask_add, dtype=jnp.float32))
-
-    flops_cell = 2 * my * w2 * cols * M * 2
-    kernel = functools.partial(_kernel, nglo, w2, my, has_bias)
-    return pl.pallas_call(
-        kernel,
-        grid=(BH, mx),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_cell * BH * mx,
-            bytes_accessed=(q.size + 7 * k.size) * q.dtype.itemsize,
-            transcendentals=BH * mx * my * w2 * cols,
-        ),
-        interpret=interpret,
-    )(*operands)
-
-
 def _xla_reference(q, k, v, k_glo, v_glo, bias, mask_add):
     """Pure-XLA computation of the same fused attention (used for the
     backward pass and as the CPU fallback). Shapes as in _pallas_forward."""
@@ -469,46 +312,6 @@ def _xla_reference(q, k, v, k_glo, v_glo, bias, mask_add):
             preferred_element_type=jnp.float32,
         ).astype(q.dtype)
     return out.astype(q.dtype)
-
-
-def make_fused_vil_attention(mask_add: np.ndarray, use_pallas: bool = True):
-    """Build the fused local-attention callable for a fixed mask table.
-
-    The mask is a trace-time constant (static shapes per config). Returns
-    ``f(q, k, v, k_glo, v_glo, bias) -> out`` with a custom VJP: Pallas
-    forward, recompute-based XLA backward (no saved score matrix).
-    Any of k_glo/v_glo/bias may be None (static arity).
-    """
-    mask_add = np.asarray(mask_add, dtype=np.float32)
-
-    @jax.custom_vjp
-    def fused(q, k, v, k_glo, v_glo, bias):
-        if use_pallas:
-            return _pallas_forward(q, k, v, k_glo, v_glo, bias, mask_add)
-        return _xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
-
-    def fwd(q, k, v, k_glo, v_glo, bias):
-        return fused(q, k, v, k_glo, v_glo, bias), (q, k, v, k_glo, v_glo, bias)
-
-    def bwd(res, g):
-        q, k, v, k_glo, v_glo, bias = res
-        diff_args = tuple(a for a in (q, k, v, k_glo, v_glo, bias) if a is not None)
-
-        def wrapped(*args):
-            it = iter(args)
-            full = [next(it) if a is not None else None
-                    for a in (q, k, v, k_glo, v_glo, bias)]
-            return _xla_reference(*full, mask_add)
-
-        _, vjp = jax.vjp(wrapped, *diff_args)
-        grads = iter(vjp(g))
-        return tuple(
-            next(grads) if a is not None else None
-            for a in (q, k, v, k_glo, v_glo, bias)
-        )
-
-    fused.defvjp(fwd, bwd)
-    return fused
 
 
 def mask_to_additive(mask_bool: np.ndarray, mx: int, my: int, w2: int, nglo: int) -> np.ndarray:

@@ -120,14 +120,25 @@ def label_smoothing_per_sample(
 
 def get_per_sample_criterion(cfg):
     """Per-sample eval loss (for masked/padded eval batches). Returns None
-    for losses without a per-sample decomposition in this zoo."""
+    for losses without a per-sample decomposition (focal and multisoftmax
+    normalize over the whole batch — their padded-eval loss carries a small
+    pad-row bias; accuracy metrics are always exactly masked)."""
     name = cfg.LOSS.LOSS
-    if name != "xentropy":
-        return None
-    if cfg.AUG.MIXUP_PROB > 0.0 or cfg.LOSS.LABEL_SMOOTHING <= 0.0:
-        return cross_entropy_per_sample
-    eps = cfg.LOSS.LABEL_SMOOTHING
-    return lambda lo, t: label_smoothing_per_sample(lo, t, eps)
+    if name == "xentropy":
+        if cfg.AUG.MIXUP_PROB > 0.0 or cfg.LOSS.LABEL_SMOOTHING <= 0.0:
+            return cross_entropy_per_sample
+        eps = cfg.LOSS.LABEL_SMOOTHING
+        return lambda lo, t: label_smoothing_per_sample(lo, t, eps)
+    if name == "sigmoid":
+        return lambda lo, t: -jnp.mean(
+            t * jax.nn.log_sigmoid(lo) + (1 - t) * jax.nn.log_sigmoid(-lo),
+            axis=-1,
+        )
+    if name == "bce":
+        return lambda lo, t: jnp.mean(_bce_with_logits(lo, t), axis=-1)
+    if name == "mse":
+        return lambda lo, t: jnp.mean(jnp.square(lo - t), axis=-1)
+    return None
 
 
 def get_criterion(cfg, train: bool = True) -> Criterion:

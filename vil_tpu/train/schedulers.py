@@ -110,6 +110,15 @@ def get_lr_schedule(cfg, last_iter: int = 0) -> Schedule | None:
         warmup_iters=warmup_iters,
         warmup_method=cfg.SOLVER.WARMUP_METHOD,
     )
+    def _units(schedule):
+        """Schedules are always evaluated with the optimizer STEP count; an
+        epoch-based schedule advances once per epoch (the reference steps it
+        per epoch, engine.py:169-170) — convert steps → whole epochs."""
+        if not epoch_based:
+            return schedule
+        spe = max(int(cfg.SOLVER.STEPS_PER_EPOCH), 1)
+        return lambda step: schedule(jnp.asarray(step) // spe)
+
     if lr_policy == "multistep":
         if epoch_based:
             steps = tuple(
@@ -120,13 +129,17 @@ def get_lr_schedule(cfg, last_iter: int = 0) -> Schedule | None:
                 e * cfg.SOLVER.STEPS_PER_EPOCH
                 for e in range(cfg.OPTIM.DROP_FREQ, cfg.OPTIM.EPOCHS, cfg.OPTIM.DROP_FREQ)
             )
-        return warmup_multistep(
+        return _units(warmup_multistep(
             cfg.OPTIM.LR, steps, 1.0 / cfg.OPTIM.DROP_FACTOR, **common
-        )
+        ))
     if lr_policy == "cosine":
-        return warmup_cosine(cfg.OPTIM.LR, max_iters, cfg.SOLVER.MIN_LR, **common)
+        return _units(
+            warmup_cosine(cfg.OPTIM.LR, max_iters, cfg.SOLVER.MIN_LR, **common)
+        )
     if lr_policy == "linear":
-        return warmup_linear(cfg.OPTIM.LR, max_iters, cfg.SOLVER.MIN_LR, **common)
+        return _units(
+            warmup_linear(cfg.OPTIM.LR, max_iters, cfg.SOLVER.MIN_LR, **common)
+        )
     import logging
 
     logging.warning(

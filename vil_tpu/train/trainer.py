@@ -63,7 +63,7 @@ def drop_lr(state: engine.TrainState, factor: float) -> engine.TrainState:
 class Trainer:
     def __init__(self, cfg, mesh=None):
         self.cfg = cfg
-        set_seed(cfg.TPU.SEED)
+        set_seed(cfg.TPU.SEED, jax.process_index())
         if cfg.SOLVER.DETECT_ANOMALY:
             # reference: torch.autograd.set_detect_anomaly
             # (run_experiment.py:233); TPU equivalent: nan-checking jit
@@ -74,9 +74,10 @@ class Trainer:
         self.criterion = get_criterion(cfg, train=True)
         self.criterion_eval = get_criterion(cfg, train=False)
 
-        # data
+        # data: shard the dataset across hosts in multi-host runs
+        is_distributed = jax.process_count() > 1
         self.testloaders = make_epoch_data_loader(
-            cfg, is_train=False, drop_last=False
+            cfg, is_train=False, drop_last=False, is_distributed=is_distributed
         )
         self.trainloader = None
         if not cfg.EVALUATE:
@@ -87,7 +88,9 @@ class Trainer:
                     f"by the number of devices ({n_dev}) for training "
                     f"(eval pads ragged batches; the train loop does not)"
                 )
-            self.trainloader = make_epoch_data_loader(cfg, is_train=True)
+            self.trainloader = make_epoch_data_loader(
+                cfg, is_train=True, is_distributed=is_distributed
+            )
             if cfg.SOLVER.STEPS_PER_EPOCH == 0:
                 was_frozen = cfg.is_frozen()
                 if was_frozen:
