@@ -163,3 +163,20 @@ def test_sticky_full_attention_after_s0_stage():
 
     r = model_macs(arch, 32, "longformerhand", num_classes=10)
     assert r["params"] > 0  # flops module agrees structurally (no crash)
+
+
+def test_gelu_flavor_follows_compute_dtype():
+    """bf16 compute auto-selects tanh-approx GELU (fuses on TPU; error below
+    bf16 rounding); f32 keeps exact erf for torch parity."""
+    from vil_tpu.models.layers import Mlp
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 16))
+    for dtype, expect_approx in ((jnp.float32, False), (jnp.bfloat16, True)):
+        auto = Mlp(hidden_features=32, dtype=dtype)
+        v = auto.init({"params": jax.random.PRNGKey(1)}, x.astype(dtype), True)
+        out_auto = auto.apply(v, x.astype(dtype), True)
+        for approx in (False, True):
+            forced = Mlp(hidden_features=32, dtype=dtype, gelu_approx=approx)
+            out_forced = forced.apply(v, x.astype(dtype), True)
+            same = bool(jnp.all(out_auto == out_forced))
+            assert same == (approx == expect_approx), (dtype, approx)

@@ -228,3 +228,90 @@ def test_fused_mh_custom_vjp_grads():
     )(q, k, v, kg, vg, bias)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nglo,with_bias", [(1, True), (0, False)])
+def test_row_grid_variant_matches_whole_image(monkeypatch, nglo, with_bias):
+    """Both grid strategies (whole-image resident vs 3-row BlockSpec) must
+    agree; large shapes fall back to the row grid via the VMEM budget."""
+    BH, mx, my, w, M = 2, 3, 2, 3, 8
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 1, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(3), BH, mx, my, w, M, nglo, with_bias
+    )
+    out_img = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
+    )
+    monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", 0)
+    out_row = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_img), np.asarray(out_row), atol=1e-6, rtol=1e-6
+    )
+    out_xla = vil_kernel._xla_reference(q, k, v, k_glo, v_glo, bias, mask_add)
+    np.testing.assert_allclose(
+        np.asarray(out_row), np.asarray(out_xla), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("with_bias,H", [(False, 2), (True, 3)])
+def test_fused_full_attention_matches_xla(monkeypatch, with_bias, H):
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    B, N, M = 2, 13, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (B, N, C))
+    k = jax.random.normal(ks[1], (B, N, C))
+    v = jax.random.normal(ks[2], (B, N, C))
+    bias = jax.random.normal(ks[3], (H, N, N)) * 0.3 if with_bias else None
+    out_p = fa._pallas_forward(q, k, v, bias, H, interpret=True)
+    out_x = fa._xla_reference(q, k, v, bias, H)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )
+
+    # custom VJP grads match plain autodiff of the XLA reference
+    fused = fa.make_fused_full_attention(H)
+    args = (q, k, v, bias) if with_bias else (q, k, v)
+
+    def loss_fused(*a):
+        return jnp.sum(fused(*a, None) ** 2) if not with_bias else jnp.sum(
+            fused(*a) ** 2
+        )
+
+    def loss_ref(*a):
+        full = a if with_bias else (*a, None)
+        return jnp.sum(fa._xla_reference(*full, H) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_full_attention_module_fused_matches_xla(monkeypatch):
+    """FullAttention module: fused kernel path ≡ XLA path (same params)."""
+    from vil_tpu.models.attention import FullAttention
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    wx = wy = 4
+    nglo, H, C = 1, 2, 16
+    N = nglo + wx * wy
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, N, C))
+    kwargs = dict(dim=C, num_heads=H, nglo=nglo, rpe=True, wx=wx, wy=wy)
+    mod_x = FullAttention(use_pallas=False, **kwargs)
+    variables = mod_x.init({"params": jax.random.PRNGKey(1)}, x, wx, wy, True)
+    out_x = mod_x.apply(variables, x, wx, wy, True)
+    mod_p = FullAttention(use_pallas=True, **kwargs)
+    out_p = mod_p.apply(variables, x, wx, wy, True)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )

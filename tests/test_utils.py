@@ -120,3 +120,24 @@ def test_set_seed_reproducible():
     set_seed(123)
     b = (random.random(), np.random.rand())
     assert a == b
+
+
+def test_checkpointer_orbax_backend(tmp_path):
+    ck = Checkpointer(save_dir=str(tmp_path), arch="test", backend="orbax")
+    s = _state(4.0)
+    ck.save(2, s, best_acc=50.0, is_best=True)
+    assert os.path.isdir(tmp_path / "checkpoint_2.orbax")
+    assert os.path.isdir(tmp_path / "model_best.orbax")
+    assert ck.get_checkpoint_file().endswith("checkpoint_2.orbax")
+    s2, header = ck.load(_state(0.0))
+    np.testing.assert_allclose(np.asarray(s2.params["w"]), 4.0)
+    assert int(s2.step) == 5
+    assert header["epoch"] == 2 and header["best_acc"] == 50.0
+    # overwrite same epoch works (force=True path)
+    ck.save(2, _state(6.0))
+    s3, _ = ck.load(_state(0.0))
+    np.testing.assert_allclose(np.asarray(s3.params["w"]), 6.0)
+    # a msgpack-backend reader auto-detects the orbax directory
+    ck_auto = Checkpointer(save_dir=str(tmp_path))
+    s4, _ = ck_auto.load(_state(0.0))
+    np.testing.assert_allclose(np.asarray(s4.params["w"]), 6.0)

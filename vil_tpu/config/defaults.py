@@ -153,6 +153,9 @@ _k(_C, "LOG_FREQ", 10)
 _k(_C, "EVALUATE", False)
 _k(_C, "OUTPUT_PERCLASS_ACC", False)
 _k(_C, "ONLY_SAVE_LAST", 0)
+# checkpoint backend: 'msgpack' (single-file flax) or 'orbax' (directory
+# PyTree; sharding-aware multi-host restore) — vil_tpu extension
+_k(_C, "CKPT_BACKEND", "msgpack")
 _k(_C, "DISTRIBUTED_BACKEND", "nccl")  # accepted for config compat; ignored on TPU
 _k(_C, "GATHER_ON_CPU", False)
 

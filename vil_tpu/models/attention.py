@@ -25,7 +25,7 @@ from flax import linen as nn
 from ..ops import masks as masks_lib
 from ..ops import rpe as rpe_lib
 from ..ops import sliding_chunk as sc
-from ..ops.pallas import vil_kernel
+from ..ops.pallas import full_attention, vil_kernel
 from .layers import trunc_normal_init
 
 Mode = Union[int, jax.Array]
@@ -64,6 +64,7 @@ class FullAttention(nn.Module):
     nglo: int = 1
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -82,6 +83,33 @@ class FullAttention(nn.Module):
             kernel_init=trunc_normal_init,
             name="qkv",
         )(x)
+
+        bias = self._rpe_bias(N, H) if self.rpe else None
+
+        # Fused Pallas path: single-pass whole-sequence softmax kernel —
+        # no (B, H, N, N) f32 score tensor in HBM, no head-split transpose.
+        # Falls back to XLA when attention dropout is active or the shapes
+        # exceed the kernel's VMEM budget.
+        attn_drop_active = self.attn_drop > 0.0 and not deterministic
+        if (
+            self.use_pallas
+            and not attn_drop_active
+            and full_attention.supported(B, N, C, H, bias is not None)
+            and (jax.default_backend() == "tpu" or full_attention.INTERPRET)
+        ):
+            q_tok, k_tok, v_tok = jnp.split(qkv, 3, axis=-1)
+            fused = full_attention.make_fused_full_attention(H)
+            out = fused(q_tok * scale, k_tok, v_tok,
+                        None if bias is None else bias.astype(jnp.float32))
+            out = nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                kernel_init=trunc_normal_init,
+                name="proj",
+            )(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
         q, k, v = (
             _split_heads(t, H) for t in jnp.split(qkv, 3, axis=-1)
         )
@@ -90,50 +118,7 @@ class FullAttention(nn.Module):
             "bhnm,bhtm->bhnt", q, k, preferred_element_type=jnp.float32
         ) * scale
 
-        if self.rpe:
-            assert N == self.nglo + self.wx * self.wy, (
-                "For relative position, N != nglo + wx*wy"
-            )
-            table = self.param(
-                "local_relative_position_bias_table",
-                trunc_normal_init,
-                ((2 * self.wx - 1) * (2 * self.wy - 1), H),
-                self.param_dtype,
-            )
-            idx = jnp.asarray(rpe_lib.full_rpe_index(self.wx, self.wy))
-            local_bias = table[idx.reshape(-1)].reshape(
-                self.wx * self.wy, self.wx * self.wy, H
-            ).transpose(2, 0, 1)  # (H, Nloc, Nloc)
-            if self.nglo > 0:
-                g2l = self.param(
-                    "g2l_relative_position_bias",
-                    trunc_normal_init,
-                    (2, H, self.nglo),
-                    self.param_dtype,
-                )
-                g2g = self.param(
-                    "g2g_relative_position_bias",
-                    trunc_normal_init,
-                    (H, self.nglo, self.nglo),
-                    self.param_dtype,
-                )
-                nloc = self.wx * self.wy
-                # rows for global queries: [g2g ‖ g2l[0]·1_Nloc]
-                glo_rows = jnp.concatenate(
-                    [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, self.nglo, nloc))],
-                    axis=-1,
-                )
-                # rows for local queries: [g2l[1]·1_Nloc ‖ local]
-                loc_rows = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(g2l[1][:, None, :], (H, nloc, self.nglo)),
-                        local_bias,
-                    ],
-                    axis=-1,
-                )
-                bias = jnp.concatenate([glo_rows, loc_rows], axis=1)  # (H, N, N)
-            else:
-                bias = local_bias
+        if bias is not None:
             attn = attn + bias[None].astype(attn.dtype)
 
         probs = _softmax_max_sub(attn)
@@ -153,6 +138,52 @@ class FullAttention(nn.Module):
             name="proj",
         )(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+    def _rpe_bias(self, N: int, H: int) -> jax.Array:
+        """Joint global+local relative position bias (H, N, N)
+        (msvit.py:72-114)."""
+        assert N == self.nglo + self.wx * self.wy, (
+            "For relative position, N != nglo + wx*wy"
+        )
+        table = self.param(
+            "local_relative_position_bias_table",
+            trunc_normal_init,
+            ((2 * self.wx - 1) * (2 * self.wy - 1), H),
+            self.param_dtype,
+        )
+        idx = jnp.asarray(rpe_lib.full_rpe_index(self.wx, self.wy))
+        local_bias = table[idx.reshape(-1)].reshape(
+            self.wx * self.wy, self.wx * self.wy, H
+        ).transpose(2, 0, 1)  # (H, Nloc, Nloc)
+        if self.nglo > 0:
+            g2l = self.param(
+                "g2l_relative_position_bias",
+                trunc_normal_init,
+                (2, H, self.nglo),
+                self.param_dtype,
+            )
+            g2g = self.param(
+                "g2g_relative_position_bias",
+                trunc_normal_init,
+                (H, self.nglo, self.nglo),
+                self.param_dtype,
+            )
+            nloc = self.wx * self.wy
+            # rows for global queries: [g2g ‖ g2l[0]·1_Nloc]
+            glo_rows = jnp.concatenate(
+                [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, self.nglo, nloc))],
+                axis=-1,
+            )
+            # rows for local queries: [g2l[1]·1_Nloc ‖ local]
+            loc_rows = jnp.concatenate(
+                [
+                    jnp.broadcast_to(g2l[1][:, None, :], (H, nloc, self.nglo)),
+                    local_bias,
+                ],
+                axis=-1,
+            )
+            return jnp.concatenate([glo_rows, loc_rows], axis=1)  # (H, N, N)
+        return local_bias
 
 
 class VilAttention(nn.Module):

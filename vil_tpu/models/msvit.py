@@ -76,7 +76,8 @@ class AttnBlock(nn.Module):
         )
         if self.attn_type == "full":
             self.attn = FullAttention(
-                rpe=self.rpe, wx=self.wx, wy=self.wy, nglo=self.nglo, **common
+                rpe=self.rpe, wx=self.wx, wy=self.wy, nglo=self.nglo,
+                use_pallas=self.use_pallas, **common
             )
         elif self.attn_type in ("longformerhand", "longformerauto"):
             # hand/auto differed only in torch-autograd strategy; in JAX the
@@ -124,6 +125,8 @@ class MlpBlock(nn.Module):
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # None = auto by dtype (tanh-approx GELU in bf16; exact erf otherwise)
+    gelu_approx: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
@@ -140,6 +143,7 @@ class MlpBlock(nn.Module):
             drop=self.drop,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            gelu_approx=self.gelu_approx,
             name="mlp",
         )(y, deterministic)
         y = DropPath(self.drop_path, name="droppath")(y, deterministic)
@@ -180,6 +184,8 @@ class MsViT(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # None = auto by dtype (tanh-approx GELU in bf16; exact erf otherwise)
+    gelu_approx: Optional[bool] = None
     # rematerialization of transformer blocks for training memory:
     # '' = off, 'minimal' = save MXU outputs (recompute elementwise),
     # 'full' = recompute everything (smallest memory)
@@ -295,6 +301,7 @@ class MsViT(nn.Module):
                             ln_eps=self.ln_eps,
                             dtype=self.dtype,
                             param_dtype=self.param_dtype,
+                            gelu_approx=self.gelu_approx,
                             name=f"stage{sid + 1}_block{bid}_mlp",
                         ),
                     )

@@ -55,7 +55,14 @@ def _nbh(rows, my):
 
 
 def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
-    """refs: [q, k×3, v×3, g, (kg, vg)?, (bias)?, mask, dq, p_out, ds_out]"""
+    """refs: [q, k×3, v×3, g, (kg, vg)?, (bias_loc, bias_glo?)?, mask,
+    dq, p_out, ds_out, (dkg, dvg)?, (dbias_loc, dbias_glo?)?].
+
+    Global columns never enter the local score tensor (joint softmax via a
+    shared running max — same layout trick as the forward); the stash holds
+    LOCAL columns only. dK_glo/dV_glo/dbias accumulate in-kernel across the
+    grid (constant-index output blocks stay VMEM-resident), so no epilogue
+    re-reads the ~GB stash."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
@@ -64,10 +71,28 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
     if nglo > 0:
         kg_ref = refs[i]; i += 1
         vg_ref = refs[i]; i += 1
+    bias_loc_ref = bias_glo_ref = None
     if has_bias:
-        bias_ref = refs[i]; i += 1
+        bias_loc_ref = refs[i]; i += 1
+        if nglo > 0:
+            bias_glo_ref = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
-    dq_ref, p_ref, ds_ref = refs[i], refs[i + 1], refs[i + 2]
+    dq_ref = refs[i]; i += 1
+    p_ref = refs[i]; i += 1
+    ds_ref = refs[i]; i += 1
+    dkg_ref = dvg_ref = None
+    if nglo > 0:
+        dkg_ref = refs[i]; i += 1
+        dvg_ref = refs[i]; i += 1
+    dbias_loc_ref = dbias_glo_ref = None
+    if has_bias:
+        dbias_loc_ref = refs[i]; i += 1
+        if nglo > 0:
+            dbias_glo_ref = refs[i]; i += 1
+
+    b_idx, i_idx = pl.program_id(0), pl.program_id(1)
+    first_of_image = i_idx == 0
+    first_of_grid = jnp.logical_and(b_idx == 0, first_of_image)
 
     k_nbh = _nbh([kr[0, 0] for kr in k_refs], my)  # (my, 9W2, C)
     v_nbh = _nbh([vr[0, 0] for vr in v_refs], my)
@@ -75,7 +100,7 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
     g_row = g_ref[0, 0]
     C = q_row.shape[-1]
     M = C // H
-    mask = mask_ref[0]
+    mask = mask_ref[0]  # (my, wq, 9W2)
 
     for h in range(H):
         hs = h * M
@@ -87,50 +112,104 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
             q_h, k_h.astype(q_h.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
+        if has_bias:
+            scores = scores + bias_loc_ref[h][None]
+        scores = scores + mask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        sg = None
         if nglo > 0:
             kg = kg_ref[0][:, hs : hs + M].astype(jnp.float32)
             qf = q_h.astype(jnp.float32)
             sg = jnp.sum(qf[:, :, None, :] * kg[None, None, :, :], axis=-1)
-            scores = jnp.concatenate([sg, scores], axis=-1)
-        if has_bias:
-            scores = scores + bias_ref[h][None]
-        scores = scores + mask
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32 (my, W2, cols)
+            if has_bias:
+                sg = sg + bias_glo_ref[h][None]
+            m = jnp.maximum(m, jnp.max(sg, axis=-1, keepdims=True))
+        e = jnp.exp(scores - m)  # (my, W2, 9W2) f32
+        z = jnp.sum(e, axis=-1, keepdims=True)
+        if nglo > 0:
+            eg = jnp.exp(sg - m)  # (my, W2, Nglo) f32
+            z = z + jnp.sum(eg, axis=-1, keepdims=True)
+        recip_z = 1.0 / z
+        p = e * recip_z  # normalized local probs, f32
+        pg = eg * recip_z if nglo > 0 else None
 
-        # dP = g · [vg ‖ V_nbh]^T
+        # dP = g · V^T (local) and g · vg^T (global)
         dp_loc = jax.lax.dot_general(
             g_h, v_h.astype(g_h.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (my, W2, 9W2)
+        delta = jnp.sum(dp_loc * p, axis=-1, keepdims=True)
+        dp_glo = None
         if nglo > 0:
             vg = vg_ref[0][:, hs : hs + M].astype(jnp.float32)
             gf = g_h.astype(jnp.float32)
             dp_glo = jnp.sum(gf[:, :, None, :] * vg[None, None, :, :], axis=-1)
-            dp = jnp.concatenate([dp_glo, dp_loc], axis=-1)
-        else:
-            dp = dp_loc
-        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - delta)  # f32 (my, W2, cols)
+            delta = delta + jnp.sum(dp_glo * pg, axis=-1, keepdims=True)
+        ds = p * (dp_loc - delta)  # f32 (my, W2, 9W2)
+        ds_glo = pg * (dp_glo - delta) if nglo > 0 else None
 
         # dQ = dS_loc · K_nbh (+ dS_glo · kg)
         dq = jax.lax.dot_general(
-            ds[..., nglo:].astype(q_h.dtype), k_h.astype(q_h.dtype),
+            ds.astype(q_h.dtype), k_h.astype(q_h.dtype),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         if nglo > 0:
             dq = dq + jnp.sum(
-                ds[..., :nglo][:, :, :, None] * kg[None, None, :, :], axis=2
+                ds_glo[:, :, :, None] * kg[None, None, :, :], axis=2
             )
         dq_ref[0, 0, :, :, hs : hs + M] = dq.astype(dq_ref.dtype)
         p_ref[0, 0, h] = p.astype(p_ref.dtype)
         ds_ref[0, 0, h] = ds.astype(ds_ref.dtype)
 
+        # ---- in-kernel accumulated reductions (f32 outputs) ----
+        if nglo > 0:
+            # dkg += Σ_{my,W2} dS_glo ⊗ q;  dvg += Σ pg ⊗ g
+            dkg_c = jnp.sum(
+                ds_glo[:, :, :, None] * q_h.astype(jnp.float32)[:, :, None, :],
+                axis=(0, 1),
+            )  # (Nglo, M)
+            dvg_c = jnp.sum(
+                pg[:, :, :, None] * g_h.astype(jnp.float32)[:, :, None, :],
+                axis=(0, 1),
+            )
 
-def _pass2_kernel(nglo, w2, my, H, *refs):
-    """refs: [ds×3, p×3, q×3, g×3, dk, dv]. Computes dK[r], dV[r]."""
+            @pl.when(first_of_image)
+            def _(dkg_c=dkg_c, dvg_c=dvg_c, hs=hs):
+                dkg_ref[0, :, hs : hs + M] = dkg_c
+                dvg_ref[0, :, hs : hs + M] = dvg_c
+
+            @pl.when(jnp.logical_not(first_of_image))
+            def _(dkg_c=dkg_c, dvg_c=dvg_c, hs=hs):
+                dkg_ref[0, :, hs : hs + M] += dkg_c
+                dvg_ref[0, :, hs : hs + M] += dvg_c
+
+        if has_bias:
+            db_loc = jnp.sum(ds, axis=0)  # (W2, 9W2)
+
+            @pl.when(first_of_grid)
+            def _(db_loc=db_loc, h=h):
+                dbias_loc_ref[h] = db_loc
+
+            @pl.when(jnp.logical_not(first_of_grid))
+            def _(db_loc=db_loc, h=h):
+                dbias_loc_ref[h] += db_loc
+
+            if nglo > 0:
+                db_glo = jnp.sum(ds_glo, axis=0)  # (W2, Nglo)
+
+                @pl.when(first_of_grid)
+                def _(db_glo=db_glo, h=h):
+                    dbias_glo_ref[h] = db_glo
+
+                @pl.when(jnp.logical_not(first_of_grid))
+                def _(db_glo=db_glo, h=h):
+                    dbias_glo_ref[h] += db_glo
+
+
+def _pass2_kernel(w2, my, H, *refs):
+    """refs: [ds×3, p×3, q×3, g×3, dk, dv]. Computes dK[r], dV[r] from the
+    LOCAL-columns stash (9W² lanes, no global offset)."""
     ds_refs = refs[0:3]
     p_refs = refs[3:6]
     q_refs = refs[6:9]
@@ -148,7 +227,7 @@ def _pass2_kernel(nglo, w2, my, H, *refs):
         for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
             # query row ρ = r - dx lives in refs index (−dx + 1)
             src = 1 - dx
-            col0 = nglo + bi * w2_
+            col0 = bi * w2_
             ds_blk = ds_refs[src][0, 0, h][:, :, col0 : col0 + w2_]  # (my,W2q,W2)
             p_blk = p_refs[src][0, 0, h][:, :, col0 : col0 + w2_]
             q_rho = q_refs[src][0, 0][..., hs : hs + M]  # (my, W2q, M)
@@ -191,11 +270,23 @@ def vil_attention_backward(
     H = num_heads
     nglo = 0 if k_glo is None else k_glo.shape[1]
     has_bias = bias is not None
-    cols = nglo + 9 * w2
+    cols = 9 * w2  # stash/mask/bias hold LOCAL columns only
     if interpret is None:
         from . import vil_kernel as _vk
 
         interpret = INTERPRET or _vk.INTERPRET
+
+    # split bias / mask outside the kernel (lane-offset slices are free
+    # here; the wq=1→W² expansion dodges the Mosaic broadcast-add crash —
+    # see vil_kernel.expand_local_mask)
+    from .vil_kernel import expand_local_mask
+
+    mask_local = expand_local_mask(mask_add, nglo, w2)
+    bias_loc = bias_glo = None
+    if has_bias:
+        bias_loc = bias[..., nglo:].astype(jnp.float32)
+        if nglo > 0:
+            bias_glo = bias[..., :nglo].astype(jnp.float32)
 
     row_block = (1, 1, my, w2, C)
 
@@ -224,13 +315,18 @@ def vil_attention_backward(
             pl.BlockSpec((H, w2, cols), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        operands.append(bias.astype(jnp.float32))
-    wq = mask_add.shape[2]
+        operands.append(bias_loc)
+        if nglo > 0:
+            in_specs.append(
+                pl.BlockSpec((H, w2, nglo), lambda b, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(bias_glo)
     in_specs.append(
-        pl.BlockSpec((1, my, wq, cols), lambda b, i: (i, 0, 0, 0),
+        pl.BlockSpec((1, my, w2, cols), lambda b, i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM)
     )
-    operands.append(jnp.asarray(mask_add, dtype=jnp.float32))
+    operands.append(jnp.asarray(mask_local))
 
     stash_block = (1, 1, H, my, w2, cols)  # head-major: mid-tensor
     # singleton indexing is unsupported for packed dtypes on Mosaic
@@ -246,38 +342,61 @@ def vil_attention_backward(
     # stash in the input dtype: bf16 in production halves the P/dS traffic
     # and keeps pass 2 within the VMEM scope (f32 in f32 tests for exactness)
     stash_dtype = q.dtype
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((B, mx, H, my, w2, cols), stash_dtype),
+        jax.ShapeDtypeStruct((B, mx, H, my, w2, cols), stash_dtype),
+    ]
+    # accumulated reductions: dkg/dvg per image (block resident across the
+    # mx steps of each b), dbias across the whole grid (block resident for
+    # the entire kernel) — replaces the epilogue that re-read the stash
+    if nglo > 0:
+        glo_out_spec = pl.BlockSpec(
+            (1, nglo, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [glo_out_spec, glo_out_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+        ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
+        if nglo > 0:
+            out_specs.append(
+                pl.BlockSpec((H, w2, nglo), lambda b, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((H, w2, nglo), jnp.float32)
+            )
+
     vmem_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    dq, p_st, ds_st = pl.pallas_call(
+    results = pl.pallas_call(
         functools.partial(_pass1_kernel, nglo, w2, my, H, has_bias),
         grid=(B, mx),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, mx, H, my, w2, cols), stash_dtype),
-            jax.ShapeDtypeStruct((B, mx, H, my, w2, cols), stash_dtype),
-        ],
+        out_shape=out_shapes,
         compiler_params=vmem_params,
         interpret=interpret,
     )(*operands)
-
-    # ---------------- XLA epilogue: dbias / d(k_glo) / d(v_glo) -------------
-    dbias = None
-    if has_bias:
-        # accumulate in f32: the stash may be bf16 and this reduction spans
-        # B·mx·my terms
-        dbias = jnp.sum(ds_st, axis=(0, 1, 3), dtype=jnp.float32)  # (H,W2,cols)
-    dkg = dvg = None
+    it = iter(results)
+    dq, p_st, ds_st = next(it), next(it), next(it)
+    dkg = dvg = dbias = None
     if nglo > 0:
-        q_h = q.reshape(B, mx, my, w2, H, C // H)
-        g_h = g.reshape(B, mx, my, w2, H, C // H)
-        # (…, H, nglo) ⊗ (…, H, M) → (nglo, H, M) → (nglo, C)
-        dkg = jnp.einsum(
-            "bihjlg,bijlhm->bghm", ds_st[..., :nglo], q_h.astype(jnp.float32)
-        ).reshape(B, nglo, C).astype(k_glo.dtype)
-        dvg = jnp.einsum(
-            "bihjlg,bijlhm->bghm", p_st[..., :nglo], g_h.astype(jnp.float32)
-        ).reshape(B, nglo, C).astype(v_glo.dtype)
+        dkg = next(it).astype(k_glo.dtype)
+        dvg = next(it).astype(v_glo.dtype)
+    if has_bias:
+        dbias_loc_out = next(it)
+        if nglo > 0:
+            dbias_glo_out = next(it)
+            dbias = jnp.concatenate([dbias_glo_out, dbias_loc_out], axis=-1)
+        else:
+            dbias = dbias_loc_out
 
     # ---------------- pass 2 ----------------
     def stash_row_spec(dx):
@@ -295,7 +414,7 @@ def vil_attention_backward(
     in_specs2 += [row_spec(dx) for dx in (-1, 0, 1)]
     operands2 = [ds_st] * 3 + [p_st] * 3 + [q] * 3 + [g] * 3
     dk, dv = pl.pallas_call(
-        functools.partial(_pass2_kernel, nglo, w2, my, H),
+        functools.partial(_pass2_kernel, w2, my, H),
         grid=(B, mx),
         in_specs=in_specs2,
         out_specs=[

@@ -46,44 +46,53 @@ from ..masks import NEIGHBOR_OFFSETS
 # flip to True in CPU tests to run the kernel in interpreter mode
 INTERPRET = False
 
+# whole-image kernels must fit their VMEM estimate under this budget; the
+# pallas_call raises the Mosaic scope to 64 MB (v5e runs ~20 MB scoped
+# allocations fine, measured). Tests monkeypatch this to 0 to force the
+# row-grid variant.
+WHOLE_IMAGE_VMEM_BYTES = 24 * 2**20
+
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
 
-def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *refs):
-    """Multi-head kernel body: blocks carry the FULL channel dim C = H·M and
-    heads are looped in-register (static unroll). This keeps the lane dim at
-    C (e.g. 96) for every HBM↔VMEM transfer — the head split never
-    materializes outside the kernel. refs layout as in _kernel but with
-    (…, C) blocks and bias (H, W2, cols)."""
-    i = 0
-    q_ref = refs[i]; i += 1
-    k_refs = refs[i : i + 3]; i += 3
-    v_refs = refs[i : i + 3]; i += 3
-    if nglo > 0:
-        kg_ref = refs[i]; i += 1
-        vg_ref = refs[i]; i += 1
-    if has_bias:
-        bias_ref = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
-    out_ref = refs[i]
+def _nbh_rows(rows, my: int):
+    """3 × (my, W2, C) chunk rows → (my, 9W2, C) neighborhood concat in
+    NEIGHBOR_OFFSETS order. Column neighbors are STATIC cyclic rolls along
+    my via slice+concat (Mosaic's rotate op lacks bf16 support)."""
+    parts = []
+    for dx, dy in NEIGHBOR_OFFSETS:
+        r = rows[dx + 1]
+        if dy != 0 and my > 1:
+            s = dy % my
+            r = jnp.concatenate([r[s:], r[:s]], axis=0)
+        parts.append(r)
+    return jnp.concatenate(parts, axis=1)
 
-    def nbh(rows):
-        parts = []
-        for dx, dy in NEIGHBOR_OFFSETS:
-            r = rows[dx + 1]
-            if dy != 0 and my > 1:
-                s = dy % my
-                r = jnp.concatenate([r[s:], r[:s]], axis=0)
-            parts.append(r)
-        return jnp.concatenate(parts, axis=1)
 
-    k_nbh = nbh([kr[0, 0] for kr in k_refs])  # (my, 9W2, C)
-    v_nbh = nbh([vr[0, 0] for vr in v_refs])
-    q_row = q_ref[0, 0]  # (my, W2, C)
+def _attend_row(q_row, k_nbh, v_nbh, kg, vg, bias_loc, bias_glo, mask,
+                nglo: int, num_heads: int, out_dtype):
+    """One chunk-row of fused attention, all heads, deferred normalization.
+
+    q_row (my, W2, C); k_nbh/v_nbh (my, 9W2, C); kg/vg (Nglo, C) | None;
+    bias_loc (H, W2, 9W2) f32 | None; bias_glo (H, W2, Nglo) f32 | None;
+    mask (my, wq, 9W2) f32 additive (LOCAL columns only).
+    Returns (my, W2, C).
+
+    Flash-style deferred normalization: the softmax denominator divides the
+    (my, W2, M) OUTPUT rather than the (my, W2, cols) probability tensor —
+    ~cols/M fewer divides and one fewer full pass over the score tensor
+    (the kernel is VPU-bound, not MXU-bound, at these shapes).
+
+    The global-token columns are kept OUT of the local score tensor: the
+    joint softmax is computed with a shared running max and a summed
+    denominator instead of `concat([sg, scores])` + `probs[..., nglo:]`.
+    Measured on stage-1 ViL-Small shapes, that concat and its 1-lane-offset
+    un-slice cost ~6.6 ms of a 10.6 ms kernel — a full-tensor copy plus a
+    cross-lane shift of every element.
+    """
     C = q_row.shape[-1]
     M = C // num_heads
-    mask = mask_ref[0]
-
+    outs = []
     for h in range(num_heads):
         hs = h * M
         q_h = q_row[..., hs : hs + M]
@@ -93,27 +102,104 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *ref
             q_h, k_h.astype(q_h.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (my, W2, 9W2)
-        if nglo > 0:
-            kg = kg_ref[0][:, hs : hs + M].astype(jnp.float32)  # (Nglo, M)
-            qf = q_h.astype(jnp.float32)
-            sg = jnp.sum(qf[:, :, None, :] * kg[None, None, :, :], axis=-1)
-            scores = jnp.concatenate([sg, scores], axis=-1)
-        if has_bias:
-            scores = scores + bias_ref[h][None]
+        if bias_loc is not None:
+            scores = scores + bias_loc[h][None]
         scores = scores + mask
         m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q_h.dtype)
+        sg = None
+        if nglo > 0:
+            # MXU dots with Nglo (~1) output columns are degenerate in bf16;
+            # VPU broadcast-reduce instead. (Global columns are never
+            # masked.)
+            kg_h = kg[:, hs : hs + M].astype(jnp.float32)  # (Nglo, M)
+            qf = q_h.astype(jnp.float32)
+            sg = jnp.sum(qf[:, :, None, :] * kg_h[None, None, :, :], axis=-1)
+            if bias_glo is not None:
+                sg = sg + bias_glo[h][None]
+            m = jnp.maximum(m, jnp.max(sg, axis=-1, keepdims=True))
+        # unnormalized probs, cast in the same pass as the exp (the f32
+        # probability tensor never hits VMEM); denominator accumulates in
+        # f32 FROM the rounded probs — consistent with what the PV matmul
+        # actually consumes
+        probs = jnp.exp(scores - m).astype(q_h.dtype)
+        denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
         acc = jax.lax.dot_general(
-            probs[..., nglo:], v_h.astype(probs.dtype),
+            probs, v_h.astype(probs.dtype),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # (my, W2, M)
         if nglo > 0:
-            pg = probs[..., :nglo].astype(jnp.float32)
-            vg = vg_ref[0][:, hs : hs + M].astype(jnp.float32)
-            acc = acc + jnp.sum(pg[:, :, :, None] * vg[None, None, :, :], axis=2)
-        out_ref[0, 0, :, :, hs : hs + M] = acc.astype(out_ref.dtype)
+            pg = jnp.exp(sg - m)  # (my, W2, Nglo) f32, tiny
+            denom = denom + jnp.sum(pg, axis=-1, keepdims=True)
+            vg_h = vg[:, hs : hs + M].astype(jnp.float32)
+            acc = acc + jnp.sum(pg[:, :, :, None] * vg_h[None, None, :, :], axis=2)
+        outs.append((acc * (1.0 / denom)).astype(out_dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *refs):
+    """Row-grid kernel body (grid (B, mx)): blocks carry the FULL channel dim
+    C = H·M and heads are looped in-register (static unroll). This keeps the
+    lane dim at C (e.g. 96) for every HBM↔VMEM transfer — the head split
+    never materializes outside the kernel. refs:
+    [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias_loc, bias_glo?)?,
+    mask_row, out_row]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_refs = refs[i : i + 3]; i += 3
+    v_refs = refs[i : i + 3]; i += 3
+    kg = vg = None
+    if nglo > 0:
+        kg = refs[i][0]; i += 1
+        vg = refs[i][0]; i += 1
+    bias_loc = bias_glo = None
+    if has_bias:
+        bias_loc = refs[i]; i += 1
+        if nglo > 0:
+            bias_glo = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]
+
+    k_nbh = _nbh_rows([kr[0, 0] for kr in k_refs], my)  # (my, 9W2, C)
+    v_nbh = _nbh_rows([vr[0, 0] for vr in v_refs], my)
+    out_ref[0, 0] = _attend_row(
+        q_ref[0, 0], k_nbh, v_nbh, kg, vg, bias_loc, bias_glo, mask_ref[0],
+        nglo, num_heads, out_ref.dtype,
+    )
+
+
+def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
+                   has_bias: bool, *refs):
+    """Whole-image kernel body (grid (B,)): the ENTIRE per-image Q/K/V
+    (mx, my, W², C) is resident in VMEM — viable because a ViL stage's
+    feature map is small (e.g. stage 1 of ViL-Small 224: 64 chunks × 49 ×
+    96 × bf16 ≈ 600 KB/tensor). Rows are unrolled statically; each K/V row
+    is read from HBM ONCE (vs 3× for the row grid) and per-grid-step
+    pipeline overhead is amortized mx-fold."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    kg = vg = None
+    if nglo > 0:
+        kg = refs[i][0]; i += 1
+        vg = refs[i][0]; i += 1
+    bias_loc = bias_glo = None
+    if has_bias:
+        bias_loc = refs[i]; i += 1
+        if nglo > 0:
+            bias_glo = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]
+
+    for i_row in range(mx):
+        k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        out_ref[0, i_row] = _attend_row(
+            q_ref[0, i_row], _nbh_rows(k_rows, my), _nbh_rows(v_rows, my),
+            kg, vg, bias_loc, bias_glo, mask_ref[i_row],
+            nglo, num_heads, out_ref.dtype,
+        )
 
 
 def _pallas_forward_mh(
@@ -137,59 +223,110 @@ def _pallas_forward_mh(
     if interpret is None:
         interpret = INTERPRET
 
-    row_block = (1, 1, my, w2, C)
-    q_spec = pl.BlockSpec(
-        row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
-    )
+    # the kernel keeps the global columns OUT of the score tensor (joint
+    # softmax via a shared running max) — split the mask/bias tables here,
+    # outside the kernel, where the lane-offset slice is free
+    mask_local = expand_local_mask(mask_add, nglo, w2)
+    wq = w2
+    bias_loc = bias_glo = None
+    if has_bias:
+        bias_loc = bias[..., nglo:].astype(jnp.float32)
+        if nglo > 0:
+            bias_glo = bias[..., :nglo].astype(jnp.float32)
 
-    def row_spec(dx):
-        return pl.BlockSpec(
-            row_block,
-            lambda b, i, dx=dx: (b, (i + dx) % mx, 0, 0, 0),
+    # VMEM estimate for the whole-image variant: q/k/v/out resident (×2 for
+    # pipeline double-buffering), the full mask table, bias, plus one row of
+    # f32 intermediates. Prefer whole-image when it fits comfortably in the
+    # default 16 MB scope — it reads K/V once from HBM (vs 3×) and amortizes
+    # per-step overhead mx-fold.
+    img_bytes = (
+        4 * 2 * q.size // B * q.dtype.itemsize  # q,k,v,out ×2 buffers
+        + mask_local.size * 4  # f32 mask table, fully resident
+        + (bias.size * 4 if has_bias else 0)
+        + 3 * my * w2 * cols * 4  # live f32 score-row intermediates
+    )
+    whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+
+    operands = [q, k, v] if whole_image else [q, k, k, k, v, v, v]
+    if whole_image:
+        img_block = (1, mx, my, w2, C)
+        img_spec = pl.BlockSpec(
+            img_block, lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [img_spec, img_spec, img_spec]
+        grid = (B,)
+        glo_idx = lambda b: (b, 0, 0)
+        const_idx = lambda b: (0, 0, 0)
+        mask_spec = pl.BlockSpec(
+            (mx, my, wq, 9 * w2), lambda b: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-
-    in_specs = [q_spec]
-    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
-    in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
-    operands = [q, k, k, k, v, v, v]
-    if nglo > 0:
-        glo_spec = pl.BlockSpec(
-            (1, nglo, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        out_spec = img_spec
+        kernel = functools.partial(
+            _mh_kernel_img, nglo, w2, mx, my, num_heads, has_bias
         )
+    else:
+        row_block = (1, 1, my, w2, C)
+        q_spec = pl.BlockSpec(
+            row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+        def row_spec(dx):
+            return pl.BlockSpec(
+                row_block,
+                lambda b, i, dx=dx: (b, (i + dx) % mx, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [q_spec]
+        in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+        in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+        grid = (B, mx)
+        glo_idx = lambda b, i: (b, 0, 0)
+        const_idx = lambda b, i: (0, 0, 0)
+        mask_spec = pl.BlockSpec(
+            (1, my, wq, 9 * w2), lambda b, i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_spec = q_spec
+        kernel = functools.partial(_mh_kernel, nglo, w2, my, num_heads, has_bias)
+
+    if nglo > 0:
+        glo_spec = pl.BlockSpec((1, nglo, C), glo_idx, memory_space=pltpu.VMEM)
         in_specs += [glo_spec, glo_spec]
         operands += [k_glo, v_glo]
     if has_bias:
         in_specs.append(
             pl.BlockSpec(
-                (num_heads, w2, cols), lambda b, i: (0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (num_heads, w2, 9 * w2), const_idx, memory_space=pltpu.VMEM
             )
         )
-        operands.append(bias.astype(jnp.float32))
-    wq = mask_add.shape[2]
-    in_specs.append(
-        pl.BlockSpec(
-            (1, my, wq, cols), lambda b, i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-    )
-    operands.append(jnp.asarray(mask_add, dtype=jnp.float32))
+        operands.append(bias_loc)
+        if nglo > 0:
+            in_specs.append(
+                pl.BlockSpec(
+                    (num_heads, w2, nglo), const_idx, memory_space=pltpu.VMEM
+                )
+            )
+            operands.append(bias_glo)
+    in_specs.append(mask_spec)
+    operands.append(jnp.asarray(mask_local))
 
     flops_cell = 2 * my * w2 * cols * C * 2
-    kernel = functools.partial(_mh_kernel, nglo, w2, my, num_heads, has_bias)
+    kv_reads = 3 if whole_image else 7
     return pl.pallas_call(
         kernel,
-        grid=(B, mx),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            row_block, lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops_cell * B * mx,
-            bytes_accessed=(q.size + 7 * k.size) * q.dtype.itemsize,
+            bytes_accessed=(q.size + kv_reads * k.size) * q.dtype.itemsize,
             transcendentals=B * mx * my * w2 * cols * num_heads,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
@@ -312,6 +449,25 @@ def _xla_reference(q, k, v, k_glo, v_glo, bias, mask_add):
             preferred_element_type=jnp.float32,
         ).astype(q.dtype)
     return out.astype(q.dtype)
+
+
+def expand_local_mask(mask_add: np.ndarray, nglo: int, w2: int) -> jax.Array:
+    """Strip the global columns and expand a blockwise (wq=1) mask table to
+    per-query-pixel rows (mx, my, W², 9W²), in bf16, ON DEVICE.
+
+    The kernels add the mask WITHOUT an in-kernel broadcast: broadcasting a
+    (my, 1, cols) tile onto the (my, W², cols) MXU output crashes Mosaic's
+    vector layout pass (`vector_extract_slice` check failure, observed on
+    v5e). The expansion is an XLA broadcast of the SMALL host table — baking
+    the expanded table in as a trace-time constant serializes megabytes of
+    repeated values into the MLIR program (observed: >150 MB programs and
+    HTTP 413s from the remote compiler). The table stays f32: a bf16 mask
+    forces a per-use upcast of the whole (W², 9W²) tile inside the kernel,
+    measured at +5 ms on stage-1 ViL-Small shapes.
+    """
+    mx, my = mask_add.shape[:2]
+    local = jnp.asarray(mask_add[..., nglo:], dtype=jnp.float32)
+    return jnp.broadcast_to(local, (mx, my, w2, local.shape[-1]))
 
 
 def mask_to_additive(mask_bool: np.ndarray, mx: int, my: int, w2: int, nglo: int) -> np.ndarray:

@@ -125,6 +125,7 @@ class Trainer:
             only_save_last=bool(cfg.ONLY_SAVE_LAST),
             is_test=cfg.EVALUATE,
             data_dir=cfg.DATA.DATA_DIR,
+            backend=cfg.CKPT_BACKEND,
         )
         self.state, header = self.checkpointer.load(
             self.state, cfg.MODEL.MODEL_PATH, resume=not cfg.EVALUATE

@@ -6,9 +6,17 @@ under ONLY_SAVE_LAST), a ``model_best.ckpt`` copy, and a ``last_checkpoint``
 tag file naming the newest checkpoint for auto-resume
 (checkpoint.py:162-187, :232-251). Only process 0 writes.
 
-Format: flax msgpack of {params, opt_state, buffers} + a JSON sidecar header
-{epoch, best_acc, arch}. Loading also accepts reference ``.pth`` files via
-the torch importer (so MODEL.MODEL_PATH works with released checkpoints).
+Backends (``backend`` ctor arg / ``CKPT_BACKEND`` config key):
+* ``msgpack`` (default): flax msgpack single-file {params, opt_state,
+  buffers, step} + a JSON sidecar header {epoch, best_acc, arch}.
+* ``orbax``: orbax.checkpoint PyTree directories (``<name>.orbax/``) —
+  same tag-file/best-copy/header conventions; supports async-friendly,
+  sharding-aware restore on multi-host pods.
+
+Loading also accepts reference ``.pth`` files via the torch importer
+(so MODEL.MODEL_PATH works with released checkpoints), and auto-detects
+the backend of an existing checkpoint from its on-disk form (file vs
+directory), so the two backends can be mixed in one OUTPUT_DIR.
 """
 from __future__ import annotations
 
@@ -28,16 +36,24 @@ logger = logging.getLogger(__name__)
 class Checkpointer:
     def __init__(self, save_dir: str = "", arch: str = "",
                  only_save_last: bool = False, is_test: bool = False,
-                 data_dir: str = ""):
+                 data_dir: str = "", backend: str = "msgpack"):
         self.save_dir = save_dir
         self.arch = arch
         self.only_save_last = only_save_last
         self.is_test = is_test
         self.data_dir = data_dir
+        assert backend in ("msgpack", "orbax"), backend
+        self.backend = backend
         try:
             self.is_main = jax.process_index() == 0
         except Exception:
             self.is_main = True
+
+    @staticmethod
+    def _orbax():
+        import orbax.checkpoint as ocp
+
+        return ocp.PyTreeCheckpointer()
 
     # -- tag file (checkpoint.py:232-251) ------------------------------------
     def _tag_path(self) -> str:
@@ -76,24 +92,34 @@ class Checkpointer:
             epoch = name_or_epoch
         else:
             name, epoch = name_or_epoch, extra.pop("epoch", 0)
-        path = op.join(self.save_dir, f"{name}.ckpt")
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
             "buffers": state.buffers,
             "step": state.step,
         }
-        with open(path + ".tmp", "wb") as f:
-            f.write(serialization.to_bytes(payload))
-        os.replace(path + ".tmp", path)
+        if self.backend == "orbax":
+            path = op.join(self.save_dir, f"{name}.orbax")
+            self._orbax().save(op.abspath(path), payload, force=True)
+        else:
+            path = op.join(self.save_dir, f"{name}.ckpt")
+            with open(path + ".tmp", "wb") as f:
+                f.write(serialization.to_bytes(payload))
+            os.replace(path + ".tmp", path)
         header = {"arch": self.arch, "epoch": epoch, "best_acc": float(best_acc)}
         header.update(extra)
         with open(path + ".json", "w") as f:
             json.dump(header, f)
         self.tag_last_checkpoint(path)
         if is_best:
-            best = op.join(self.save_dir, "model_best.ckpt")
-            shutil.copyfile(path, best)
+            if self.backend == "orbax":
+                best = op.join(self.save_dir, "model_best.orbax")
+                if op.isdir(best):
+                    shutil.rmtree(best)
+                shutil.copytree(path, best)
+            else:
+                best = op.join(self.save_dir, "model_best.ckpt")
+                shutil.copyfile(path, best)
             shutil.copyfile(path + ".json", best + ".json")
         logger.info("Saved checkpoint to %s", path)
         return path
@@ -113,11 +139,11 @@ class Checkpointer:
             if not self.is_test and self.save_dir:
                 self.save("model_init", state, epoch=0)
             return state, {}
-        if not op.isfile(path) and self.data_dir:
+        if not op.exists(path) and self.data_dir:
             alt = op.join(self.data_dir, path)
-            if op.isfile(alt):
+            if op.exists(alt):
                 path = alt
-        if not op.isfile(path):
+        if not op.exists(path):
             logger.warning("Checkpoint %s not found; training from scratch", path)
             return state, {}
 
@@ -128,16 +154,17 @@ class Checkpointer:
             params = load_into_model(path, state.params)
             return state.replace(params=params), {}
 
-        with open(path, "rb") as f:
-            payload = serialization.from_bytes(
-                {
-                    "params": state.params,
-                    "opt_state": state.opt_state,
-                    "buffers": state.buffers,
-                    "step": state.step,
-                },
-                f.read(),
-            )
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "buffers": state.buffers,
+            "step": state.step,
+        }
+        if op.isdir(path):  # orbax directory (backend auto-detected)
+            payload = self._orbax().restore(op.abspath(path), item=template)
+        else:
+            with open(path, "rb") as f:
+                payload = serialization.from_bytes(template, f.read())
         header = {}
         if op.isfile(path + ".json"):
             with open(path + ".json", "r") as f:
