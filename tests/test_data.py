@@ -238,3 +238,34 @@ def test_tsvfile_native_path_matches_python(tmp_path):
     tf2._native = False  # force python path
     rows_py = [tf2.seek(i) for i in range(9)]
     assert rows_native == rows_py
+
+
+def test_grain_loader_matches_thread_loader():
+    """GrainDataLoader: same batches, order, dtypes as the default loader."""
+    import numpy as np
+
+    from vil_tpu.data.grain_loader import GrainDataLoader
+    from vil_tpu.data.loader import DataLoader
+    from vil_tpu.data.samplers import SequentialSampler
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.full((4, 4, 3), i, np.float32), i
+
+    ds, sampler = DS(), SequentialSampler(10)
+    thread_batches = list(DataLoader(ds, sampler, 4, drop_last=False,
+                                     num_workers=2))
+    grain_batches = list(GrainDataLoader(ds, sampler, 4, drop_last=False,
+                                         num_workers=0))
+    assert len(thread_batches) == len(grain_batches) == 3
+    for (ti, tt), (gi, gt) in zip(thread_batches, grain_batches):
+        np.testing.assert_array_equal(ti, gi)
+        np.testing.assert_array_equal(tt, gt)
+        assert gi.dtype == np.float32 and gt.dtype == np.int32
+
+    # drop_last truncates the ragged batch identically
+    g2 = list(GrainDataLoader(ds, sampler, 4, drop_last=True, num_workers=0))
+    assert len(g2) == 2 and len(GrainDataLoader(ds, sampler, 4)) == 2

@@ -77,6 +77,9 @@ DATALOADER = _n(_C, "DATALOADER", CN())
 _k(DATALOADER, "BSZ", 128)
 _k(DATALOADER, "RE", "no")
 _k(DATALOADER, "WORKERS", 0)
+# input pipeline backend: 'threads' (thread-pool prefetch, default) or
+# 'grain' (process-parallel decode via Google Grain) — vil_tpu extension
+_k(DATALOADER, "BACKEND", "threads")
 
 # optimizer (reference defaults.py:77-104)
 OPTIM = _n(_C, "OPTIM", CN())

@@ -218,6 +218,12 @@ def make_epoch_data_loader(cfg, is_train: bool = True, drop_last: bool = True,
     )
     shuffle = True if is_train else bool(is_distributed)
 
+    loader_cls = DataLoader
+    if getattr(cfg.DATALOADER, "BACKEND", "threads") == "grain":
+        from .grain_loader import GrainDataLoader
+
+        loader_cls = GrainDataLoader
+
     loaders = []
     for dataset in datasets:
         sampler = S.make_data_sampler(
@@ -225,7 +231,7 @@ def make_epoch_data_loader(cfg, is_train: bool = True, drop_last: bool = True,
             cfg.AUG.REPEATED_AUG, num_replicas, rank, seed=cfg.TPU.SEED,
         )
         loaders.append(
-            DataLoader(
+            loader_cls(
                 dataset, sampler, images_per_host, drop_last=drop_last,
                 num_workers=cfg.DATALOADER.WORKERS,
             )

@@ -69,12 +69,13 @@ def _nbh_rows(rows, my: int):
     return jnp.concatenate(parts, axis=1)
 
 
-def _attend_row(q_row, k_nbh, v_nbh, kg, vg, bias_loc, bias_glo, mask,
+def _attend_row(q_row, k_nbh, v_nbh, sg_all, vg, bias_loc, mask,
                 nglo: int, num_heads: int, out_dtype):
     """One chunk-row of fused attention, all heads, deferred normalization.
 
-    q_row (my, W2, C); k_nbh/v_nbh (my, 9W2, C); kg/vg (Nglo, C) | None;
-    bias_loc (H, W2, 9W2) f32 | None; bias_glo (H, W2, Nglo) f32 | None;
+    q_row (my, W2, C); k_nbh/v_nbh (my, 9W2, C);
+    sg_all (my, W2, H·Nglo) f32 global scores (bias already folded) | None;
+    vg (Nglo, C) | None; bias_loc (H, W2, 9W2) f32 | None;
     mask (my, wq, 9W2) f32 additive (LOCAL columns only).
     Returns (my, W2, C).
 
@@ -83,12 +84,16 @@ def _attend_row(q_row, k_nbh, v_nbh, kg, vg, bias_loc, bias_glo, mask,
     ~cols/M fewer divides and one fewer full pass over the score tensor
     (the kernel is VPU-bound, not MXU-bound, at these shapes).
 
-    The global-token columns are kept OUT of the local score tensor: the
-    joint softmax is computed with a shared running max and a summed
-    denominator instead of `concat([sg, scores])` + `probs[..., nglo:]`.
-    Measured on stage-1 ViL-Small shapes, that concat and its 1-lane-offset
-    un-slice cost ~6.6 ms of a 10.6 ms kernel — a full-tensor copy plus a
-    cross-lane shift of every element.
+    Global-token columns: appended at the TAIL of the score tensor, never
+    the front. A front concat forces a 1-lane shift of the whole (W², 9W²)
+    tensor and the matching ``probs[..., nglo:]`` un-slice re-shifts it (the
+    reference column order is [glo ‖ local]); tail placement keeps the big
+    local block at lane offset 0 on both sides. The global scores sg_all
+    (my, W², H·Nglo, bias included) are PRECOMPUTED OUTSIDE the kernel by a
+    trivial XLA einsum — per-head in-kernel VPU broadcast-reduces of
+    (my, W², 1)-shaped operands measured ~10 ms/layer on stage-1 ViL-Small
+    shapes (1/128 lane utilization plus relayouts), and Mosaic rejects the
+    small-operand matmul alternatives with layout/shape-cast errors.
     """
     C = q_row.shape[-1]
     M = C // num_heads
@@ -105,32 +110,24 @@ def _attend_row(q_row, k_nbh, v_nbh, kg, vg, bias_loc, bias_glo, mask,
         if bias_loc is not None:
             scores = scores + bias_loc[h][None]
         scores = scores + mask
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        sg = None
         if nglo > 0:
-            # MXU dots with Nglo (~1) output columns are degenerate in bf16;
-            # VPU broadcast-reduce instead. (Global columns are never
-            # masked.)
-            kg_h = kg[:, hs : hs + M].astype(jnp.float32)  # (Nglo, M)
-            qf = q_h.astype(jnp.float32)
-            sg = jnp.sum(qf[:, :, None, :] * kg_h[None, None, :, :], axis=-1)
-            if bias_glo is not None:
-                sg = sg + bias_glo[h][None]
-            m = jnp.maximum(m, jnp.max(sg, axis=-1, keepdims=True))
+            sg = sg_all[..., h * nglo : (h + 1) * nglo]  # (my, W2, Nglo)
+            scores = jnp.concatenate([scores, sg], axis=-1)  # tail append
+        m = jnp.max(scores, axis=-1, keepdims=True)
         # unnormalized probs, cast in the same pass as the exp (the f32
         # probability tensor never hits VMEM); denominator accumulates in
         # f32 FROM the rounded probs — consistent with what the PV matmul
         # actually consumes
         probs = jnp.exp(scores - m).astype(q_h.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+        nloc = k_nbh.shape[1]
         acc = jax.lax.dot_general(
-            probs, v_h.astype(probs.dtype),
+            probs[..., :nloc], v_h.astype(probs.dtype),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (my, W2, M)
         if nglo > 0:
-            pg = jnp.exp(sg - m)  # (my, W2, Nglo) f32, tiny
-            denom = denom + jnp.sum(pg, axis=-1, keepdims=True)
+            pg = probs[..., nloc:].astype(jnp.float32)  # (my, W2, Nglo)
             vg_h = vg[:, hs : hs + M].astype(jnp.float32)
             acc = acc + jnp.sum(pg[:, :, :, None] * vg_h[None, None, :, :], axis=2)
         outs.append((acc * (1.0 / denom)).astype(out_dtype))
@@ -142,28 +139,27 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *ref
     C = H·M and heads are looped in-register (static unroll). This keeps the
     lane dim at C (e.g. 96) for every HBM↔VMEM transfer — the head split
     never materializes outside the kernel. refs:
-    [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias_loc, bias_glo?)?,
-    mask_row, out_row]."""
+    [q_row, k_row×3, v_row×3, (sg_row, v_glo)?, (bias_loc)?, mask_row,
+    out_row]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
     v_refs = refs[i : i + 3]; i += 3
-    kg = vg = None
+    sg = vg = None
     if nglo > 0:
-        kg = refs[i][0]; i += 1
+        sg_ref = refs[i]; i += 1
+        sg = sg_ref[0, 0]
         vg = refs[i][0]; i += 1
-    bias_loc = bias_glo = None
+    bias_loc = None
     if has_bias:
         bias_loc = refs[i]; i += 1
-        if nglo > 0:
-            bias_glo = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]
 
     k_nbh = _nbh_rows([kr[0, 0] for kr in k_refs], my)  # (my, 9W2, C)
     v_nbh = _nbh_rows([vr[0, 0] for vr in v_refs], my)
     out_ref[0, 0] = _attend_row(
-        q_ref[0, 0], k_nbh, v_nbh, kg, vg, bias_loc, bias_glo, mask_ref[0],
+        q_ref[0, 0], k_nbh, v_nbh, sg, vg, bias_loc, mask_ref[0],
         nglo, num_heads, out_ref.dtype,
     )
 
@@ -180,15 +176,13 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
     v_ref = refs[i]; i += 1
-    kg = vg = None
+    sg_ref = vg = None
     if nglo > 0:
-        kg = refs[i][0]; i += 1
+        sg_ref = refs[i]; i += 1
         vg = refs[i][0]; i += 1
-    bias_loc = bias_glo = None
+    bias_loc = None
     if has_bias:
         bias_loc = refs[i]; i += 1
-        if nglo > 0:
-            bias_glo = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]
 
@@ -197,7 +191,8 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
         v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         out_ref[0, i_row] = _attend_row(
             q_ref[0, i_row], _nbh_rows(k_rows, my), _nbh_rows(v_rows, my),
-            kg, vg, bias_loc, bias_glo, mask_ref[i_row],
+            sg_ref[0, i_row] if nglo > 0 else None, vg,
+            bias_loc, mask_ref[i_row],
             nglo, num_heads, out_ref.dtype,
         )
 
@@ -223,16 +218,27 @@ def _pallas_forward_mh(
     if interpret is None:
         interpret = INTERPRET
 
-    # the kernel keeps the global columns OUT of the score tensor (joint
-    # softmax via a shared running max) — split the mask/bias tables here,
-    # outside the kernel, where the lane-offset slice is free
+    # the kernel appends the global columns at the TAIL of the score tensor
+    # — split the mask/bias tables here, outside the kernel, where the
+    # lane-offset slice is free, and precompute the per-head global scores
+    # (q·k_gloᵀ + g2l bias) as a cheap XLA einsum (see _attend_row docstring)
     mask_local = expand_local_mask(mask_add, nglo, w2)
     wq = w2
-    bias_loc = bias_glo = None
+    bias_loc = None
     if has_bias:
         bias_loc = bias[..., nglo:].astype(jnp.float32)
-        if nglo > 0:
-            bias_glo = bias[..., :nglo].astype(jnp.float32)
+    sg_all = None
+    if nglo > 0:
+        M = C // num_heads
+        q5 = q.reshape(B, mx, my, w2, num_heads, M)
+        kg4 = k_glo.reshape(B, nglo, num_heads, M)
+        sg_all = jnp.einsum(
+            "bxywhm,bghm->bxywhg", q5, kg4, preferred_element_type=jnp.float32
+        )  # (B, mx, my, W2, H, Nglo)
+        if has_bias:
+            bias_glo = bias[..., :nglo].astype(jnp.float32)  # (H, W2, Nglo)
+            sg_all = sg_all + bias_glo.transpose(1, 0, 2)[None, None, None]
+        sg_all = sg_all.reshape(B, mx, my, w2, num_heads * nglo)
 
     # VMEM estimate for the whole-image variant: q/k/v/out resident (×2 for
     # pipeline double-buffering), the full mask table, bias, plus one row of
@@ -292,9 +298,20 @@ def _pallas_forward_mh(
         kernel = functools.partial(_mh_kernel, nglo, w2, my, num_heads, has_bias)
 
     if nglo > 0:
+        hn = num_heads * nglo
+        if whole_image:
+            sg_spec = pl.BlockSpec(
+                (1, mx, my, w2, hn), lambda b: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            sg_spec = pl.BlockSpec(
+                (1, 1, my, w2, hn), lambda b, i: (b, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         glo_spec = pl.BlockSpec((1, nglo, C), glo_idx, memory_space=pltpu.VMEM)
-        in_specs += [glo_spec, glo_spec]
-        operands += [k_glo, v_glo]
+        in_specs += [sg_spec, glo_spec]
+        operands += [sg_all, v_glo]
     if has_bias:
         in_specs.append(
             pl.BlockSpec(
@@ -302,13 +319,6 @@ def _pallas_forward_mh(
             )
         )
         operands.append(bias_loc)
-        if nglo > 0:
-            in_specs.append(
-                pl.BlockSpec(
-                    (num_heads, w2, nglo), const_idx, memory_space=pltpu.VMEM
-                )
-            )
-            operands.append(bias_glo)
     in_specs.append(mask_spec)
     operands.append(jnp.asarray(mask_local))
 
