@@ -55,44 +55,43 @@ def _nbh(rows, my):
 
 
 def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
-    """refs: [q, k×3, v×3, g, (kg, vg)?, (bias_loc, bias_glo?)?, mask,
-    dq, p_out, ds_out, (dkg, dvg)?, (dbias_loc, dbias_glo?)?].
+    """refs: [q, k×3, v×3, g, (sg_row, dpg_row)?, (bias_loc)?, mask,
+    dq, p_out, ds_out, (pg_out, dsg_out)?, (dbias_loc)?].
 
-    Global columns never enter the local score tensor (joint softmax via a
-    shared running max — same layout trick as the forward); the stash holds
-    LOCAL columns only. dK_glo/dV_glo/dbias accumulate in-kernel across the
-    grid (constant-index output blocks stay VMEM-resident), so no epilogue
-    re-reads the ~GB stash."""
+    Same layout discipline as the forward v6: global score/dP columns are
+    PRECOMPUTED outside the kernel (cheap XLA einsums) and appended at the
+    TAIL of the wide score tensors, so every in-kernel op runs at full lane
+    width — no (my, W², 1)-shaped VPU work. The stash holds LOCAL columns
+    only (pass 2 reads lane-offset-0 blocks); the tiny normalized pg / dSg
+    tensors are emitted as separate small outputs and the global grads
+    (dK_glo/dV_glo/dQ_glo/dbias_glo) become small XLA epilogue einsums.
+    dbias_loc still accumulates in-kernel across the whole grid."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
     v_refs = refs[i : i + 3]; i += 3
     g_ref = refs[i]; i += 1
+    sg_ref = dpg_ref = None
     if nglo > 0:
-        kg_ref = refs[i]; i += 1
-        vg_ref = refs[i]; i += 1
-    bias_loc_ref = bias_glo_ref = None
+        sg_ref = refs[i]; i += 1
+        dpg_ref = refs[i]; i += 1
+    bias_loc_ref = None
     if has_bias:
         bias_loc_ref = refs[i]; i += 1
-        if nglo > 0:
-            bias_glo_ref = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     dq_ref = refs[i]; i += 1
     p_ref = refs[i]; i += 1
     ds_ref = refs[i]; i += 1
-    dkg_ref = dvg_ref = None
+    pg_ref = dsg_ref = None
     if nglo > 0:
-        dkg_ref = refs[i]; i += 1
-        dvg_ref = refs[i]; i += 1
-    dbias_loc_ref = dbias_glo_ref = None
+        pg_ref = refs[i]; i += 1
+        dsg_ref = refs[i]; i += 1
+    dbias_loc_ref = None
     if has_bias:
         dbias_loc_ref = refs[i]; i += 1
-        if nglo > 0:
-            dbias_glo_ref = refs[i]; i += 1
 
     b_idx, i_idx = pl.program_id(0), pl.program_id(1)
-    first_of_image = i_idx == 0
-    first_of_grid = jnp.logical_and(b_idx == 0, first_of_image)
+    first_of_grid = jnp.logical_and(b_idx == 0, i_idx == 0)
 
     k_nbh = _nbh([kr[0, 0] for kr in k_refs], my)  # (my, 9W2, C)
     v_nbh = _nbh([vr[0, 0] for vr in v_refs], my)
@@ -101,6 +100,7 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
     C = q_row.shape[-1]
     M = C // H
     mask = mask_ref[0]  # (my, wq, 9W2)
+    nloc = 9 * w2
 
     for h in range(H):
         hs = h * M
@@ -115,77 +115,40 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
         if has_bias:
             scores = scores + bias_loc_ref[h][None]
         scores = scores + mask
+        if nglo > 0:
+            sg = sg_ref[0, 0][..., h * nglo : (h + 1) * nglo]
+            scores = jnp.concatenate([scores, sg], axis=-1)  # tail append
         m = jnp.max(scores, axis=-1, keepdims=True)
-        sg = None
-        if nglo > 0:
-            kg = kg_ref[0][:, hs : hs + M].astype(jnp.float32)
-            qf = q_h.astype(jnp.float32)
-            sg = jnp.sum(qf[:, :, None, :] * kg[None, None, :, :], axis=-1)
-            if has_bias:
-                sg = sg + bias_glo_ref[h][None]
-            m = jnp.maximum(m, jnp.max(sg, axis=-1, keepdims=True))
-        e = jnp.exp(scores - m)  # (my, W2, 9W2) f32
-        z = jnp.sum(e, axis=-1, keepdims=True)
-        if nglo > 0:
-            eg = jnp.exp(sg - m)  # (my, W2, Nglo) f32
-            z = z + jnp.sum(eg, axis=-1, keepdims=True)
-        recip_z = 1.0 / z
-        p = e * recip_z  # normalized local probs, f32
-        pg = eg * recip_z if nglo > 0 else None
+        e = jnp.exp(scores - m)  # (my, W2, 9W2+Nglo) f32
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # normalized
 
-        # dP = g · V^T (local) and g · vg^T (global)
-        dp_loc = jax.lax.dot_general(
+        # dP = g · V^T (local) ‖ precomputed global columns
+        dp = jax.lax.dot_general(
             g_h, v_h.astype(g_h.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (my, W2, 9W2)
-        delta = jnp.sum(dp_loc * p, axis=-1, keepdims=True)
-        dp_glo = None
         if nglo > 0:
-            vg = vg_ref[0][:, hs : hs + M].astype(jnp.float32)
-            gf = g_h.astype(jnp.float32)
-            dp_glo = jnp.sum(gf[:, :, None, :] * vg[None, None, :, :], axis=-1)
-            delta = delta + jnp.sum(dp_glo * pg, axis=-1, keepdims=True)
-        ds = p * (dp_loc - delta)  # f32 (my, W2, 9W2)
-        ds_glo = pg * (dp_glo - delta) if nglo > 0 else None
+            dpg = dpg_ref[0, 0][..., h * nglo : (h + 1) * nglo]
+            dp = jnp.concatenate([dp, dpg], axis=-1)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)  # f32 (my, W2, 9W2+Nglo)
 
-        # dQ = dS_loc · K_nbh (+ dS_glo · kg)
+        # dQ(local part) = dS_loc · K_nbh; the dS_glo · k_glo term is a
+        # small XLA epilogue einsum
         dq = jax.lax.dot_general(
-            ds.astype(q_h.dtype), k_h.astype(q_h.dtype),
+            ds[..., :nloc].astype(q_h.dtype), k_h.astype(q_h.dtype),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        if nglo > 0:
-            dq = dq + jnp.sum(
-                ds_glo[:, :, :, None] * kg[None, None, :, :], axis=2
-            )
         dq_ref[0, 0, :, :, hs : hs + M] = dq.astype(dq_ref.dtype)
-        p_ref[0, 0, h] = p.astype(p_ref.dtype)
-        ds_ref[0, 0, h] = ds.astype(ds_ref.dtype)
-
-        # ---- in-kernel accumulated reductions (f32 outputs) ----
+        p_ref[0, 0, h] = p[..., :nloc].astype(p_ref.dtype)
+        ds_ref[0, 0, h] = ds[..., :nloc].astype(ds_ref.dtype)
         if nglo > 0:
-            # dkg += Σ_{my,W2} dS_glo ⊗ q;  dvg += Σ pg ⊗ g
-            dkg_c = jnp.sum(
-                ds_glo[:, :, :, None] * q_h.astype(jnp.float32)[:, :, None, :],
-                axis=(0, 1),
-            )  # (Nglo, M)
-            dvg_c = jnp.sum(
-                pg[:, :, :, None] * g_h.astype(jnp.float32)[:, :, None, :],
-                axis=(0, 1),
-            )
-
-            @pl.when(first_of_image)
-            def _(dkg_c=dkg_c, dvg_c=dvg_c, hs=hs):
-                dkg_ref[0, :, hs : hs + M] = dkg_c
-                dvg_ref[0, :, hs : hs + M] = dvg_c
-
-            @pl.when(jnp.logical_not(first_of_image))
-            def _(dkg_c=dkg_c, dvg_c=dvg_c, hs=hs):
-                dkg_ref[0, :, hs : hs + M] += dkg_c
-                dvg_ref[0, :, hs : hs + M] += dvg_c
+            pg_ref[0, 0, :, :, h * nglo : (h + 1) * nglo] = p[..., nloc:]
+            dsg_ref[0, 0, :, :, h * nglo : (h + 1) * nglo] = ds[..., nloc:]
 
         if has_bias:
-            db_loc = jnp.sum(ds, axis=0)  # (W2, 9W2)
+            db_loc = jnp.sum(ds[..., :nloc], axis=0)  # (W2, 9W2)
 
             @pl.when(first_of_grid)
             def _(db_loc=db_loc, h=h):
@@ -194,17 +157,6 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
             @pl.when(jnp.logical_not(first_of_grid))
             def _(db_loc=db_loc, h=h):
                 dbias_loc_ref[h] += db_loc
-
-            if nglo > 0:
-                db_glo = jnp.sum(ds_glo, axis=0)  # (W2, Nglo)
-
-                @pl.when(first_of_grid)
-                def _(db_glo=db_glo, h=h):
-                    dbias_glo_ref[h] = db_glo
-
-                @pl.when(jnp.logical_not(first_of_grid))
-                def _(db_glo=db_glo, h=h):
-                    dbias_glo_ref[h] += db_glo
 
 
 def _pass2_kernel(w2, my, H, *refs):
@@ -282,11 +234,28 @@ def vil_attention_backward(
     from .vil_kernel import expand_local_mask
 
     mask_local = expand_local_mask(mask_add, nglo, w2)
-    bias_loc = bias_glo = None
+    bias_loc = None
     if has_bias:
         bias_loc = bias[..., nglo:].astype(jnp.float32)
-        if nglo > 0:
-            bias_glo = bias[..., :nglo].astype(jnp.float32)
+    # precompute the per-head global score / dP columns as XLA einsums
+    # (forward v6 layout): sg/dpg (B, mx, my, W2, H·Nglo) f32
+    sg_all = dpg_all = None
+    if nglo > 0:
+        M = C // H
+        q5 = q.reshape(B, mx, my, w2, H, M)
+        g5 = g.reshape(B, mx, my, w2, H, M)
+        kg4 = k_glo.reshape(B, nglo, H, M)
+        vg4 = v_glo.reshape(B, nglo, H, M)
+        sg_all = jnp.einsum(
+            "bxywhm,bghm->bxywhg", q5, kg4, preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            bias_glo = bias[..., :nglo].astype(jnp.float32)  # (H, W2, Nglo)
+            sg_all = sg_all + bias_glo.transpose(1, 0, 2)[None, None, None]
+        sg_all = sg_all.reshape(B, mx, my, w2, H * nglo)
+        dpg_all = jnp.einsum(
+            "bxywhm,bghm->bxywhg", g5, vg4, preferred_element_type=jnp.float32
+        ).reshape(B, mx, my, w2, H * nglo)
 
     row_block = (1, 1, my, w2, C)
 
@@ -305,23 +274,19 @@ def vil_attention_backward(
     in_specs += [q_spec]  # g
     operands = [q, k, k, k, v, v, v, g]
     if nglo > 0:
-        glo_spec = pl.BlockSpec(
-            (1, nglo, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+        hn = H * nglo
+        sg_spec = pl.BlockSpec(
+            (1, 1, my, w2, hn), lambda b, i: (b, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         )
-        in_specs += [glo_spec, glo_spec]
-        operands += [k_glo, v_glo]
+        in_specs += [sg_spec, sg_spec]
+        operands += [sg_all, dpg_all]
     if has_bias:
         in_specs.append(
             pl.BlockSpec((H, w2, cols), lambda b, i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         operands.append(bias_loc)
-        if nglo > 0:
-            in_specs.append(
-                pl.BlockSpec((H, w2, nglo), lambda b, i: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            operands.append(bias_glo)
     in_specs.append(
         pl.BlockSpec((1, my, w2, cols), lambda b, i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -347,17 +312,14 @@ def vil_attention_backward(
         jax.ShapeDtypeStruct((B, mx, H, my, w2, cols), stash_dtype),
         jax.ShapeDtypeStruct((B, mx, H, my, w2, cols), stash_dtype),
     ]
-    # accumulated reductions: dkg/dvg per image (block resident across the
-    # mx steps of each b), dbias across the whole grid (block resident for
-    # the entire kernel) — replaces the epilogue that re-read the stash
+    # normalized global probs / global dS: small f32 outputs consumed by
+    # the XLA epilogue (dK_glo/dV_glo/dQ_glo/dbias_glo einsums); dbias_loc
+    # accumulates in-kernel across the whole grid (constant-index block)
     if nglo > 0:
-        glo_out_spec = pl.BlockSpec(
-            (1, nglo, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
-        )
-        out_specs += [glo_out_spec, glo_out_spec]
+        out_specs += [sg_spec, sg_spec]
         out_shapes += [
-            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
         ]
     if has_bias:
         out_specs.append(
@@ -365,14 +327,6 @@ def vil_attention_backward(
                          memory_space=pltpu.VMEM)
         )
         out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
-        if nglo > 0:
-            out_specs.append(
-                pl.BlockSpec((H, w2, nglo), lambda b, i: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
-            )
-            out_shapes.append(
-                jax.ShapeDtypeStruct((H, w2, nglo), jnp.float32)
-            )
 
     vmem_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     results = pl.pallas_call(
@@ -388,12 +342,29 @@ def vil_attention_backward(
     dq, p_st, ds_st = next(it), next(it), next(it)
     dkg = dvg = dbias = None
     if nglo > 0:
-        dkg = next(it).astype(k_glo.dtype)
-        dvg = next(it).astype(v_glo.dtype)
+        pg_out = next(it)   # (B, mx, my, W2, H·Nglo) f32, normalized
+        dsg_out = next(it)
+        M = C // H
+        pg5 = pg_out.reshape(B, mx, my, w2, H, nglo)
+        dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo)
+        q5 = q.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
+        g5 = g.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
+        kg4 = k_glo.reshape(B, nglo, H, M).astype(jnp.float32)
+        # dQ += dS_glo · k_glo ; dK_glo = Σ dS_glo ⊗ q ; dV_glo = Σ p_glo ⊗ g
+        dq = dq + jnp.einsum(
+            "bxywhg,bghm->bxywhm", dsg5, kg4
+        ).reshape(B, mx, my, w2, C).astype(dq.dtype)
+        dkg = jnp.einsum("bxywhg,bxywhm->bghm", dsg5, q5).reshape(
+            B, nglo, C
+        ).astype(k_glo.dtype)
+        dvg = jnp.einsum("bxywhg,bxywhm->bghm", pg5, g5).reshape(
+            B, nglo, C
+        ).astype(v_glo.dtype)
     if has_bias:
         dbias_loc_out = next(it)
         if nglo > 0:
-            dbias_glo_out = next(it)
+            # dbias_glo = Σ_{b,x,y·(rows)} dS_glo, back in (H, W2, Nglo)
+            dbias_glo_out = jnp.sum(dsg5, axis=(0, 1, 2)).transpose(1, 0, 2)
             dbias = jnp.concatenate([dbias_glo_out, dbias_loc_out], axis=-1)
         else:
             dbias = dbias_loc_out
