@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (fwd + bwd + adamw + mixup).
+
+Mirrors the reference's hot training loop (engine.py:60-195 of
+microsoft/vision-longformer) as ONE jitted step, then times N chained steps
+inside a single jit (TrainState is the natural data dependency between
+iterations) with the two-point N_small/N_large difference to cancel the
+axon-tunnel RTT (see bench.py docstring).
+
+Usage:
+  python benchmarks/train_bench.py [--batch 64] [--img 224]
+      [--arch vil_small] [--no-pallas] [--no-mixup] [--random-shift]
+
+Run ONE TPU process at a time (see docs/BENCHMARKS.md measurement rule).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vil_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--arch", default="vil_small")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-mixup", action="store_true")
+    ap.add_argument("--random-shift", action="store_true",
+                    help="sample a neighbor-block VIL mode per step (MODE>0)")
+    ap.add_argument("--iters", type=int, nargs=2, default=(3, 12),
+                    metavar=("A", "B"), help="two-point iteration counts")
+    args = ap.parse_args()
+
+    from vil_tpu.data.mixup import make_mixup_fn
+    from vil_tpu.models import ARCH_ZOO, MsViT
+    from vil_tpu.train.engine import create_train_state, make_train_step
+    from vil_tpu.train.loss import soft_target_cross_entropy, cross_entropy
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = MsViT(
+        arch=ARCH_ZOO[args.arch],
+        img_size=args.img,
+        num_classes=1000,
+        attn_type="longformerhand",
+        sharew=True,
+        norm_embed=True,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_pallas=on_tpu and not args.no_pallas,
+    )
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, args.img, args.img, 3), jnp.float32
+    )
+    targets = jax.random.randint(jax.random.PRNGKey(2), (args.batch,), 0, 1000)
+    state = jax.jit(lambda: create_train_state(
+        model, tx, jax.random.PRNGKey(0), x))()
+
+    mixup_fn = None if args.no_mixup else make_mixup_fn(num_classes=1000)
+    criterion = cross_entropy if args.no_mixup else soft_target_cross_entropy
+    train_step = make_train_step(
+        model, criterion, tx,
+        random_shift=args.random_shift, mixup_fn=mixup_fn,
+    )
+    rng = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def run(state, iters):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = train_step(st, x, targets, rng)
+            return st, metrics["loss"].astype(jnp.float32)
+
+        _, loss = jax.lax.fori_loop(
+            0, iters, body, (state, jnp.float32(0.0)))
+        return loss
+
+    def timed(iters) -> float:
+        t0 = time.time()
+        float(run(state, jnp.int32(iters)))
+        return time.time() - t0
+
+    ia, ib = args.iters
+    timed(ia)  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        ta, tb = timed(ia), timed(ib)
+        per = (tb - ta) / (ib - ia)
+        if 0 < per < best:
+            best = per
+    print(
+        f"{args.arch} {args.img}px batch={args.batch} "
+        f"pallas={not args.no_pallas} mixup={not args.no_mixup} "
+        f"random_shift={args.random_shift}: "
+        f"{best * 1e3:.2f} ms/step = {args.batch / best:.1f} img/s"
+    )
+
+
+if __name__ == "__main__":
+    main()
