@@ -213,15 +213,27 @@ class VilAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, nx: int, ny: int, deterministic: bool, mode: Mode = 0
-    ) -> jax.Array:
-        B, N, C = x.shape
+        self, x, nx: int, ny: int, deterministic: bool, mode: Mode = 0
+    ):
+        """``x`` is either token layout (B, Nglo+nx·ny, C) → returns the same,
+        or the persistent chunked pair ``(x_glo (B, Nglo, C) | None,
+        x_img (B, mx, my, W², C))`` → returns the same pair. The chunked form
+        is the stage-resident hot path: chunkify/unchunkify happen ONCE per
+        stage (msvit.forward_features), not per block."""
+        chunked_in = isinstance(x, (tuple, list))
         H, W = self.num_heads, self.w
-        M = C // H
         W2 = W * W
         Nglo = self.nglo
         Nloc = nx * ny
-        assert Nglo + Nloc == N, "Global dimension does not match!"
+        if chunked_in:
+            x_glo, x_img = x
+            B, C = x_img.shape[0], x_img.shape[-1]
+            assert (0 if x_glo is None else x_glo.shape[1]) == Nglo
+            assert not self.only_glo, "only-global mode uses token layout"
+        else:
+            B, N, C = x.shape
+            assert Nglo + Nloc == N, "Global dimension does not match!"
+        M = C // H
         if self.only_glo:
             assert Nglo >= 1, "Nglo == 0 in the only global mode!"
         scale = M ** -0.5
@@ -269,13 +281,23 @@ class VilAttention(nn.Module):
         )
 
         # local attention: queries are local tokens, keys/values all tokens.
-        # Token-level (B, N, C) tensors throughout; per-head views are taken
-        # lazily via reshape inside einsums ('bnhm' forms) so no head-split
-        # transpose is ever materialized on the hot path.
-        q_tok = query(x[:, Nglo:]) * scale  # (B, Nloc, C)
-        k_tok, v_tok = jnp.split(kv(x), 2, axis=-1)  # (B, N, C)
+        # Per-head views are taken lazily via reshape inside einsums ('bnhm'
+        # forms) so no head-split transpose is ever materialized on the hot
+        # path. In chunked mode the projections run directly on the
+        # (B, mx, my, W², C) stage-resident tensor (Dense is per-token).
         heads4 = lambda t: t.reshape(t.shape[0], t.shape[1], H, M)
-        kg_tok, vg_tok = k_tok[:, :Nglo], v_tok[:, :Nglo]
+        if chunked_in:
+            q_img_c = query(x_img) * scale  # (B, mx, my, W², C)
+            k_img_c, v_img_c = jnp.split(kv(x_img), 2, axis=-1)
+            if Nglo >= 1:
+                kg_tok, vg_tok = jnp.split(kv(x_glo), 2, axis=-1)
+            else:
+                kg_tok = jnp.zeros((B, 0, C), self.dtype)
+                vg_tok = kg_tok
+        else:
+            q_tok = query(x[:, Nglo:]) * scale  # (B, Nloc, C)
+            k_tok, v_tok = jnp.split(kv(x), 2, axis=-1)  # (B, N, C)
+            kg_tok, vg_tok = k_tok[:, :Nglo], v_tok[:, :Nglo]
 
         if self.only_glo:
             # NOTE: the reference adds no RPE bias on the only-global path
@@ -323,23 +345,39 @@ class VilAttention(nn.Module):
                         bias_full = local_bias
                     bias_full = bias_full.astype(jnp.float32)
                 fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
-                x1 = fused(
-                    sc.chunkify(q_tok, nx, ny, W),
-                    sc.chunkify(k_tok[:, Nglo:], nx, ny, W),
-                    sc.chunkify(v_tok[:, Nglo:], nx, ny, W),
-                    kg_tok if Nglo >= 1 else None,
-                    vg_tok if Nglo >= 1 else None,
-                    bias_full,
-                )
-                x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
+                if chunked_in:
+                    x1 = fused(
+                        q_img_c, k_img_c, v_img_c,
+                        kg_tok if Nglo >= 1 else None,
+                        vg_tok if Nglo >= 1 else None,
+                        bias_full,
+                    )  # stays (B, mx, my, W², C)
+                else:
+                    x1 = fused(
+                        sc.chunkify(q_tok, nx, ny, W),
+                        sc.chunkify(k_tok[:, Nglo:], nx, ny, W),
+                        sc.chunkify(v_tok[:, Nglo:], nx, ny, W),
+                        kg_tok if Nglo >= 1 else None,
+                        vg_tok if Nglo >= 1 else None,
+                        bias_full,
+                    )
+                    x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
             else:
                 # pure-XLA tier (also handles mode != 0 and attn dropout)
-                chunk = lambda t4: sc.chunkify(
-                    t4.transpose(0, 2, 1, 3).reshape(B * H, -1, M), nx, ny, W
-                ).reshape(B, H, mx, my, W2, M)
-                q_img = chunk(heads4(q_tok))
-                k_img = chunk(heads4(k_tok[:, Nglo:]))
-                v_img = chunk(heads4(v_tok[:, Nglo:]))
+                if chunked_in:
+                    chunk5 = lambda t5: t5.reshape(
+                        B, mx, my, W2, H, M
+                    ).transpose(0, 4, 1, 2, 3, 5)
+                    q_img = chunk5(q_img_c)
+                    k_img = chunk5(k_img_c)
+                    v_img = chunk5(v_img_c)
+                else:
+                    chunk = lambda t4: sc.chunkify(
+                        t4.transpose(0, 2, 1, 3).reshape(B * H, -1, M), nx, ny, W
+                    ).reshape(B, H, mx, my, W2, M)
+                    q_img = chunk(heads4(q_tok))
+                    k_img = chunk(heads4(k_tok[:, Nglo:]))
+                    v_img = chunk(heads4(v_tok[:, Nglo:]))
                 k_glo = heads4(kg_tok).transpose(0, 2, 1, 3)  # (B, H, Nglo, M)
                 v_glo = heads4(vg_tok).transpose(0, 2, 1, 3)
                 # local→global scores: (B, H, mx, my, W², Nglo)
@@ -396,24 +434,37 @@ class VilAttention(nn.Module):
                         "bhmnlt,bhtc->bhmnlc", probs_glo, v_glo,
                         preferred_element_type=jnp.float32,
                     ).astype(self.dtype)
-                x1 = sc.unchunkify(
-                    x1.reshape(B * H, mx, my, W2, M), nx, ny, W
-                ).reshape(B, H, Nloc, M)
-                x1 = _merge_heads(x1.astype(self.dtype))  # (B, Nloc, C)
+                if chunked_in:
+                    x1 = x1.astype(self.dtype).transpose(
+                        0, 2, 3, 4, 1, 5
+                    ).reshape(B, mx, my, W2, C)
+                else:
+                    x1 = sc.unchunkify(
+                        x1.reshape(B * H, mx, my, W2, M), nx, ny, W
+                    ).reshape(B, H, Nloc, M)
+                    x1 = _merge_heads(x1.astype(self.dtype))  # (B, Nloc, C)
 
         x1 = proj(x1.astype(self.dtype))
+        drop = lambda t: nn.Dropout(self.proj_drop)(t, deterministic=deterministic)
 
         if Nglo == 0:
-            return nn.Dropout(self.proj_drop)(x1, deterministic=deterministic)
+            return (None, drop(x1)) if chunked_in else drop(x1)
 
         # global branch: vanilla dense attention over all tokens
-        # (longformer2d.py:209-227)
+        # (longformer2d.py:209-227). In chunked mode the local keys/values
+        # arrive in chunk order — softmax attention is permutation-invariant
+        # over keys, and pad positions (if any) are masked out below.
+        flat4 = lambda t5: t5.reshape(B, -1, H, M)
         if self.sharew:
             query_g, proj_g = query, proj
             # kv_global ≡ kv when weights are shared: reuse the local
             # branch's K/V instead of recomputing the (N, 2C) projection
             # (the reference recomputes it — numerically identical)
-            kg4, vg4 = heads4(k_tok), heads4(v_tok)
+            if chunked_in:
+                k_all4 = jnp.concatenate([heads4(kg_tok), flat4(k_img_c)], axis=1)
+                v_all4 = jnp.concatenate([heads4(vg_tok), flat4(v_img_c)], axis=1)
+            else:
+                k_all4, v_all4 = heads4(k_tok), heads4(v_tok)
         else:
             query_g = dense(self.dim, "query_global")
             kv_g = dense(2 * self.dim, "kv_global")
@@ -424,25 +475,67 @@ class VilAttention(nn.Module):
                 kernel_init=trunc_normal_init,
                 name="proj_global",
             )
-            kg4, vg4 = (heads4(t) for t in jnp.split(kv_g(x), 2, axis=-1))
-        qg4 = heads4(query_g(x[:, :Nglo]) * scale)
-        attn0 = jnp.einsum(
-            "bnhm,bthm->bhnt", qg4, kg4, preferred_element_type=jnp.float32
+            if chunked_in:
+                kgg, vgg = jnp.split(kv_g(x_glo), 2, axis=-1)
+                kgi, vgi = jnp.split(kv_g(x_img), 2, axis=-1)
+                k_all4 = jnp.concatenate([heads4(kgg), flat4(kgi)], axis=1)
+                v_all4 = jnp.concatenate([heads4(vgg), flat4(vgi)], axis=1)
+            else:
+                k_all4, v_all4 = (
+                    heads4(t) for t in jnp.split(kv_g(x), 2, axis=-1)
+                )
+        n_cols = k_all4.shape[1]
+        qg4 = heads4(
+            query_g(x_glo if chunked_in else x[:, :Nglo]) * scale
         )
+        # scores/AV as elementwise-multiply + reductions over the token axis:
+        # with Nglo ~ 1 the einsum forms are degenerate single-row GEMMs that
+        # lower poorly on TPU (measured 3× slower than mul+reduce on v5e,
+        # benchmarks/block_anatomy.py) — one pass over K, one over V.
+        qg_t = qg4.transpose(0, 2, 1, 3)  # (B, H, Nglo, M)
+        attn0 = jnp.sum(
+            (k_all4[:, :, :, None, :] * qg_t[:, None]).astype(jnp.float32),
+            axis=-1,
+        )  # (B, T, H, Nglo)
         if self.rpe:
             bias = jnp.concatenate(
-                [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, Nglo, Nloc))], axis=-1
+                [
+                    g2g,
+                    jnp.broadcast_to(
+                        g2l[0][:, :, None], (H, Nglo, n_cols - Nglo)
+                    ),
+                ],
+                axis=-1,
+            )  # (H, Nglo, T)
+            attn0 = attn0 + bias.transpose(2, 0, 1)[None]
+        if chunked_in and n_cols - Nglo != Nloc:
+            # padded chunk grid: mask pad-key columns (global queries must
+            # only see real tokens — parity with the token-layout path)
+            valid = np.concatenate(
+                [
+                    np.ones((Nglo,), dtype=bool),
+                    masks_lib.chunk_valid(nx, ny, W).reshape(-1),
+                ]
             )
-            attn0 = attn0 + bias[None]
-        probs0 = _softmax_max_sub(attn0)
+            attn0 = jnp.where(
+                jnp.asarray(valid)[None, :, None, None], attn0, -jnp.inf
+            )
+        probs0 = _softmax_max_sub(attn0, axis=1)
         probs0 = nn.Dropout(self.attn_drop)(probs0, deterministic=deterministic)
-        x0 = jnp.einsum(
-            "bhnt,bthm->bnhm",
-            probs0.astype(self.dtype),
-            vg4,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype).reshape(B, Nglo, C)
+        x0 = jnp.sum(
+            (
+                probs0.astype(self.dtype)[..., None]
+                * v_all4[:, :, :, None, :]
+            ).astype(jnp.float32),
+            axis=1,
+        )  # (B, H, Nglo, M)
+        x0 = (
+            x0.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, Nglo, C)
+        )
         x0 = proj_g(x0)
+
+        if chunked_in:
+            return (drop(x0), drop(x1))
 
         out = jnp.concatenate([x0, x1], axis=1)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

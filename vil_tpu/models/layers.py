@@ -22,19 +22,29 @@ trunc_normal_init = jax.nn.initializers.truncated_normal(stddev=0.02)
 
 
 class DropPath(nn.Module):
-    """Per-sample stochastic depth (reference uses timm DropPath)."""
+    """Per-sample stochastic depth (reference uses timm DropPath).
+
+    Accepts an array or a pytree of arrays sharing a leading batch dim (the
+    chunked-layout blocks carry (x_glo, x_img) pairs); ONE (B,) mask is drawn
+    and applied to every leaf, so the whole residual branch of a sample is
+    kept or dropped together — same semantics as the token-layout path."""
 
     rate: float
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+    def __call__(self, x, deterministic: bool):
         if self.rate == 0.0 or deterministic:
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-        mask = jax.random.bernoulli(rng, keep, shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+        batch = jax.tree_util.tree_leaves(x)[0].shape[0]
+        mask = jax.random.bernoulli(rng, keep, (batch,))
+
+        def apply(leaf):
+            m = mask.reshape((batch,) + (1,) * (leaf.ndim - 1))
+            return jnp.where(m, leaf / keep, jnp.zeros_like(leaf))
+
+        return jax.tree_util.tree_map(apply, x)
 
 
 class Mlp(nn.Module):

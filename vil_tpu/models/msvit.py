@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops import sliding_chunk as sc
 from .arch import StageCfg, parse_arch
 from .attention import FullAttention, VilAttention
 from .attention_efficient import (
@@ -108,8 +109,20 @@ class AttnBlock(nn.Module):
         self.droppath = DropPath(self.drop_path)
 
     def __call__(
-        self, x: jax.Array, nx: int, ny: int, deterministic: bool, mode: Mode = 0
-    ) -> jax.Array:
+        self, x, nx: int, ny: int, deterministic: bool, mode: Mode = 0
+    ):
+        if isinstance(x, (tuple, list)):
+            # persistent chunked layout: x = (x_glo | None, x_img chunked)
+            x_glo, x_img = x
+            y = self.attn(
+                (None if x_glo is None else self.norm(x_glo), self.norm(x_img)),
+                nx, ny, deterministic, mode,
+            )
+            y_glo, y_img = self.droppath(y, deterministic)
+            return (
+                None if x_glo is None else x_glo + y_glo,
+                x_img + y_img,
+            )
         y = self.attn(self.norm(x), nx, ny, deterministic, mode)
         return x + self.droppath(y, deterministic)
 
@@ -129,15 +142,15 @@ class MlpBlock(nn.Module):
     gelu_approx: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+    def __call__(self, x, deterministic: bool):
         out_dim = self.out_dim or self.dim
-        y = nn.LayerNorm(
+        norm = nn.LayerNorm(
             epsilon=self.ln_eps,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="norm",
-        )(x)
-        y = Mlp(
+        )
+        mlp = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio),
             out_features=out_dim,
             drop=self.drop,
@@ -145,8 +158,20 @@ class MlpBlock(nn.Module):
             param_dtype=self.param_dtype,
             gelu_approx=self.gelu_approx,
             name="mlp",
-        )(y, deterministic)
-        y = DropPath(self.drop_path, name="droppath")(y, deterministic)
+        )
+        droppath = DropPath(self.drop_path, name="droppath")
+        if isinstance(x, (tuple, list)):
+            # persistent chunked layout (all ops here are per-token)
+            assert out_dim == self.dim, "dim change unsupported in chunk layout"
+            x_glo, x_img = x
+            y_glo = None if x_glo is None else mlp(norm(x_glo), deterministic)
+            y_img = mlp(norm(x_img), deterministic)
+            y_glo, y_img = droppath((y_glo, y_img), deterministic)
+            return (
+                None if x_glo is None else x_glo + y_glo,
+                x_img + y_img,
+            )
+        y = droppath(mlp(norm(x), deterministic), deterministic)
         if out_dim != self.dim:
             shortcut = nn.Dense(
                 out_dim,
@@ -238,6 +263,7 @@ class MsViT(nn.Module):
         dprs = np.linspace(0, self.drop_path_rate, self.depth)
         patch_embeds = []
         stage_blocks = []
+        stage_chunked = []
         i_block = 0
         # the reference mutates the SHARED attn_args dict when a stage has
         # s=0 (msvit.py:460-461), so 'full' is sticky: every stage after the
@@ -262,6 +288,15 @@ class MsViT(nn.Module):
             )
             sticky_full = sticky_full or not c.is_sparse_attn
             attn_type = "full" if sticky_full else self.attn_type
+            # persistent chunked layout: VIL stages chunkify ONCE at stage
+            # entry and keep (x_glo, x_img-chunks) through all blocks (every
+            # non-attention op is per-token) — no per-block chunkify/
+            # unchunkify round-trips through HBM
+            stage_chunked.append(
+                attn_type in ("longformerhand", "longformerauto")
+                and not self.only_glo
+                and c.num_blocks > 0
+            )
             blocks = []
             for bid in range(c.num_blocks):
                 dpr = float(dprs[i_block])
@@ -309,6 +344,7 @@ class MsViT(nn.Module):
             stage_blocks.append(blocks)
         self.patch_embeds = patch_embeds
         self.stage_blocks = stage_blocks
+        self.stage_chunked = stage_chunked
         self.final_norm = nn.LayerNorm(
             epsilon=self.ln_eps,
             dtype=self.dtype,
@@ -340,9 +376,20 @@ class MsViT(nn.Module):
                 prev_nx, prev_ny = grids[sid - 1]
                 x = x[:, nglos[sid - 1]:].reshape(B, prev_nx, prev_ny, -1)
             x = pe(x, deterministic)
+            chunked = self.stage_chunked[sid]
+            if chunked:
+                g, w_s = nglos[sid], self.layer_cfgs[sid].num_feats
+                x = (
+                    x[:, :g] if g > 0 else None,
+                    sc.chunkify(x[:, g:], nx, ny, w_s),
+                )
             for attn_block, mlp_block in blocks:
                 x = attn_block(x, nx, ny, deterministic, mode)
                 x = mlp_block(x, deterministic)
+            if chunked:
+                x_glo, x_img = x
+                loc = sc.unchunkify(x_img, nx, ny, w_s)
+                x = loc if x_glo is None else jnp.concatenate([x_glo, loc], axis=1)
         x = self.final_norm(x)
         if nglos[-1] > 0 and not self.avg_pool:
             return x[:, 0]

@@ -154,3 +154,18 @@ def all_mode_masks(mx, my, padx, pady, w, exact) -> np.ndarray:
     return np.stack(
         [invalid_mask(mx, my, padx, pady, w, exact, mode) for mode in range(1, 9)]
     )
+
+
+def chunk_valid(nx: int, ny: int, w: int) -> np.ndarray:
+    """(mx, my, w²) bool: True where the chunk position maps to a real token
+    of the nx×ny grid (False on zero-pad positions). Chunk-order counterpart
+    of the row-major token grid — used by the persistent-chunk layout to mask
+    pad keys in the global-token attention branch."""
+    padx = (w - nx % w) % w
+    pady = (w - ny % w) % w
+    mx, my = (nx + padx) // w, (ny + pady) // w
+    valid = np.zeros((mx * w, my * w), dtype=bool)
+    valid[:nx, :ny] = True
+    return (
+        valid.reshape(mx, w, my, w).transpose(0, 2, 1, 3).reshape(mx, my, w * w)
+    )

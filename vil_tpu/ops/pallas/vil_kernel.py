@@ -55,10 +55,15 @@ WHOLE_IMAGE_VMEM_BYTES = 24 * 2**20
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
 
-def _nbh_rows(rows, my: int):
-    """3 × (my, W2, C) chunk rows → (my, 9W2, C) neighborhood concat in
-    NEIGHBOR_OFFSETS order. Column neighbors are STATIC cyclic rolls along
-    my via slice+concat (Mosaic's rotate op lacks bf16 support)."""
+def _nbh_rows(rows, my: int, extra=None):
+    """3 × (my, W2, C) chunk rows → (my, 9W2[+Nglo], C) neighborhood concat
+    in NEIGHBOR_OFFSETS order. Column neighbors are STATIC cyclic rolls along
+    my via slice+concat (Mosaic's rotate op lacks bf16 support). ``extra``
+    (my, Nglo, C) appends the global K rows as a 10th part of the SAME
+    concat, so the main GEMM computes the global scores too (kernel v7) —
+    note an in-kernel jnp.broadcast_to of (1, Nglo, M) → (my, Nglo, M) is
+    NOT an option (Mosaic lowers it as an unsupported gather); the broadcast
+    happens XLA-side on the tiny (B, Nglo, C) tensor."""
     parts = []
     for dx, dy in NEIGHBOR_OFFSETS:
         r = rows[dx + 1]
@@ -66,17 +71,20 @@ def _nbh_rows(rows, my: int):
             s = dy % my
             r = jnp.concatenate([r[s:], r[:s]], axis=0)
         parts.append(r)
+    if extra is not None:
+        parts.append(extra.astype(parts[0].dtype))
     return jnp.concatenate(parts, axis=1)
 
 
-def _attend_row(q_row, k_nbh, v_nbh, sg_all, vg, bias_loc, mask,
+def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
                 nglo: int, num_heads: int, out_dtype):
     """One chunk-row of fused attention, all heads, deferred normalization.
 
-    q_row (my, W2, C); k_nbh/v_nbh (my, 9W2, C);
-    sg_all (my, W2, H·Nglo) f32 global scores (bias already folded) | None;
-    vg (Nglo, C) | None; bias_loc (H, W2, 9W2) f32 | None;
-    mask (my, wq, 9W2) f32 additive (LOCAL columns only).
+    q_row (my, W2, C); k_nbh (my, 9W2+Nglo, C) — global K rows already
+    appended by _nbh_rows; v_nbh (my, 9W2, C);
+    vg (Nglo, C) global V | None; bias_tail (H, W2, 9W2+Nglo) f32 | None
+    (TAIL column order: [local ‖ glo]); mask (my, wq, 9W2+Nglo) f32 additive,
+    same tail order (glo columns are 0).
     Returns (my, W2, C).
 
     Flash-style deferred normalization: the softmax denominator divides the
@@ -88,31 +96,31 @@ def _attend_row(q_row, k_nbh, v_nbh, sg_all, vg, bias_loc, mask,
     the front. A front concat forces a 1-lane shift of the whole (W², 9W²)
     tensor and the matching ``probs[..., nglo:]`` un-slice re-shifts it (the
     reference column order is [glo ‖ local]); tail placement keeps the big
-    local block at lane offset 0 on both sides. The global scores sg_all
-    (my, W², H·Nglo, bias included) are PRECOMPUTED OUTSIDE the kernel by a
-    trivial XLA einsum — per-head in-kernel VPU broadcast-reduces of
-    (my, W², 1)-shaped operands measured ~10 ms/layer on stage-1 ViL-Small
-    shapes (1/128 lane utilization plus relayouts), and Mosaic rejects the
-    small-operand matmul alternatives with layout/shape-cast errors.
+    local block at lane offset 0 on both sides. The global K rows are
+    CONCATENATED ONTO THE GEMM OPERAND (k_nbh ‖ kg) so the MXU computes the
+    global scores together with the local ones in the SAME dot — v7; this
+    replaced the v6 XLA-side sg precompute (an extra ~0.5 ms/block pass over
+    Q in HBM) and the per-score-tensor tail concat. The earlier in-kernel
+    alternatives remain off the table: per-head (my, W², 1)-shaped VPU
+    broadcast-reduces measured ~10 ms/layer (1/128 lane utilization), and
+    Mosaic rejects small-operand matmuls with layout/shape-cast errors.
     """
     C = q_row.shape[-1]
     M = C // num_heads
+    nloc = k_nbh.shape[1] - nglo
     outs = []
     for h in range(num_heads):
         hs = h * M
         q_h = q_row[..., hs : hs + M]
-        k_h = k_nbh[..., hs : hs + M]
+        k_h = k_nbh[..., hs : hs + M].astype(q_h.dtype)
         v_h = v_nbh[..., hs : hs + M]
         scores = jax.lax.dot_general(
-            q_h, k_h.astype(q_h.dtype), (((2,), (2,)), ((0,), (0,))),
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (my, W2, 9W2)
-        if bias_loc is not None:
-            scores = scores + bias_loc[h][None]
+        )  # (my, W2, 9W2+Nglo)
+        if bias_tail is not None:
+            scores = scores + bias_tail[h][None]
         scores = scores + mask
-        if nglo > 0:
-            sg = sg_all[..., h * nglo : (h + 1) * nglo]  # (my, W2, Nglo)
-            scores = jnp.concatenate([scores, sg], axis=-1)  # tail append
         m = jnp.max(scores, axis=-1, keepdims=True)
         # unnormalized probs, cast in the same pass as the exp (the f32
         # probability tensor never hits VMEM); denominator accumulates in
@@ -120,7 +128,6 @@ def _attend_row(q_row, k_nbh, v_nbh, sg_all, vg, bias_loc, mask,
         # actually consumes
         probs = jnp.exp(scores - m).astype(q_h.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
-        nloc = k_nbh.shape[1]
         acc = jax.lax.dot_general(
             probs[..., :nloc], v_h.astype(probs.dtype),
             (((2,), (1,)), ((0,), (0,))),
@@ -139,27 +146,26 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *ref
     C = H·M and heads are looped in-register (static unroll). This keeps the
     lane dim at C (e.g. 96) for every HBM↔VMEM transfer — the head split
     never materializes outside the kernel. refs:
-    [q_row, k_row×3, v_row×3, (sg_row, v_glo)?, (bias_loc)?, mask_row,
+    [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias_tail)?, mask_row,
     out_row]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
     v_refs = refs[i : i + 3]; i += 3
-    sg = vg = None
+    kg_row = vg = None
     if nglo > 0:
-        sg_ref = refs[i]; i += 1
-        sg = sg_ref[0, 0]
+        kg_row = refs[i][0]; i += 1  # (my, Nglo, C) pre-broadcast XLA-side
         vg = refs[i][0]; i += 1
-    bias_loc = None
+    bias_tail = None
     if has_bias:
-        bias_loc = refs[i]; i += 1
+        bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]
 
-    k_nbh = _nbh_rows([kr[0, 0] for kr in k_refs], my)  # (my, 9W2, C)
+    k_nbh = _nbh_rows([kr[0, 0] for kr in k_refs], my, kg_row)
     v_nbh = _nbh_rows([vr[0, 0] for vr in v_refs], my)
     out_ref[0, 0] = _attend_row(
-        q_ref[0, 0], k_nbh, v_nbh, sg, vg, bias_loc, mask_ref[0],
+        q_ref[0, 0], k_nbh, v_nbh, vg, bias_tail, mask_ref[0],
         nglo, num_heads, out_ref.dtype,
     )
 
@@ -176,13 +182,13 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
     v_ref = refs[i]; i += 1
-    sg_ref = vg = None
+    kg_row = vg = None
     if nglo > 0:
-        sg_ref = refs[i]; i += 1
+        kg_row = refs[i][0]; i += 1  # (my, Nglo, C) pre-broadcast XLA-side
         vg = refs[i][0]; i += 1
-    bias_loc = None
+    bias_tail = None
     if has_bias:
-        bias_loc = refs[i]; i += 1
+        bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]
 
@@ -190,9 +196,9 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
         k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         out_ref[0, i_row] = _attend_row(
-            q_ref[0, i_row], _nbh_rows(k_rows, my), _nbh_rows(v_rows, my),
-            sg_ref[0, i_row] if nglo > 0 else None, vg,
-            bias_loc, mask_ref[i_row],
+            q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
+            _nbh_rows(v_rows, my),
+            vg, bias_tail, mask_ref[i_row],
             nglo, num_heads, out_ref.dtype,
         )
 
@@ -219,26 +225,15 @@ def _pallas_forward_mh(
         interpret = INTERPRET
 
     # the kernel appends the global columns at the TAIL of the score tensor
-    # — split the mask/bias tables here, outside the kernel, where the
-    # lane-offset slice is free, and precompute the per-head global scores
-    # (q·k_gloᵀ + g2l bias) as a cheap XLA einsum (see _attend_row docstring)
-    mask_local = expand_local_mask(mask_add, nglo, w2)
+    # (the global K rows ride the main GEMM operand) — reorder the mask/bias
+    # tables here, outside the kernel, where the lane shuffle is free
+    mask_tail = expand_tail_mask(mask_add, nglo, w2)
     wq = w2
-    bias_loc = None
+    bias_tail = None
     if has_bias:
-        bias_loc = bias[..., nglo:].astype(jnp.float32)
-    sg_all = None
-    if nglo > 0:
-        M = C // num_heads
-        q5 = q.reshape(B, mx, my, w2, num_heads, M)
-        kg4 = k_glo.reshape(B, nglo, num_heads, M)
-        sg_all = jnp.einsum(
-            "bxywhm,bghm->bxywhg", q5, kg4, preferred_element_type=jnp.float32
-        )  # (B, mx, my, W2, H, Nglo)
-        if has_bias:
-            bias_glo = bias[..., :nglo].astype(jnp.float32)  # (H, W2, Nglo)
-            sg_all = sg_all + bias_glo.transpose(1, 0, 2)[None, None, None]
-        sg_all = sg_all.reshape(B, mx, my, w2, num_heads * nglo)
+        bias_tail = jnp.concatenate(
+            [bias[..., nglo:], bias[..., :nglo]], axis=-1
+        ).astype(jnp.float32)  # (H, W2, 9W2+Nglo), tail order
 
     # VMEM estimate for the whole-image variant: q/k/v/out resident (×2 for
     # pipeline double-buffering), the full mask table, bias, plus one row of
@@ -247,7 +242,7 @@ def _pallas_forward_mh(
     # per-step overhead mx-fold.
     img_bytes = (
         4 * 2 * q.size // B * q.dtype.itemsize  # q,k,v,out ×2 buffers
-        + mask_local.size * 4  # f32 mask table, fully resident
+        + mask_tail.size * 4  # f32 mask table, fully resident
         + (bias.size * 4 if has_bias else 0)
         + 3 * my * w2 * cols * 4  # live f32 score-row intermediates
     )
@@ -264,7 +259,7 @@ def _pallas_forward_mh(
         glo_idx = lambda b: (b, 0, 0)
         const_idx = lambda b: (0, 0, 0)
         mask_spec = pl.BlockSpec(
-            (mx, my, wq, 9 * w2), lambda b: (0, 0, 0, 0),
+            (mx, my, wq, cols), lambda b: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_spec = img_spec
@@ -291,36 +286,37 @@ def _pallas_forward_mh(
         glo_idx = lambda b, i: (b, 0, 0)
         const_idx = lambda b, i: (0, 0, 0)
         mask_spec = pl.BlockSpec(
-            (1, my, wq, 9 * w2), lambda b, i: (i, 0, 0, 0),
+            (1, my, wq, cols), lambda b, i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         out_spec = q_spec
         kernel = functools.partial(_mh_kernel, nglo, w2, my, num_heads, has_bias)
 
     if nglo > 0:
-        hn = num_heads * nglo
-        if whole_image:
-            sg_spec = pl.BlockSpec(
-                (1, mx, my, w2, hn), lambda b: (b, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        else:
-            sg_spec = pl.BlockSpec(
-                (1, 1, my, w2, hn), lambda b, i: (b, i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
+        # global K rows pre-broadcast over my OUTSIDE the kernel (tiny
+        # (B, my, Nglo, C) tensor) — appended to the neighborhood concat
+        kg_spec = pl.BlockSpec(
+            (1, my, nglo, C),
+            (lambda b: (b, 0, 0, 0)) if whole_image else (
+                lambda b, i: (b, 0, 0, 0)
+            ),
+            memory_space=pltpu.VMEM,
+        )
         glo_spec = pl.BlockSpec((1, nglo, C), glo_idx, memory_space=pltpu.VMEM)
-        in_specs += [sg_spec, glo_spec]
-        operands += [sg_all, v_glo]
+        in_specs += [kg_spec, glo_spec]
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            v_glo,
+        ]
     if has_bias:
         in_specs.append(
             pl.BlockSpec(
-                (num_heads, w2, 9 * w2), const_idx, memory_space=pltpu.VMEM
+                (num_heads, w2, cols), const_idx, memory_space=pltpu.VMEM
             )
         )
-        operands.append(bias_loc)
+        operands.append(bias_tail)
     in_specs.append(mask_spec)
-    operands.append(jnp.asarray(mask_local))
+    operands.append(jnp.asarray(mask_tail))
 
     flops_cell = 2 * my * w2 * cols * C * 2
     kv_reads = 3 if whole_image else 7
@@ -478,6 +474,16 @@ def expand_local_mask(mask_add: np.ndarray, nglo: int, w2: int) -> jax.Array:
     mx, my = mask_add.shape[:2]
     local = jnp.asarray(mask_add[..., nglo:], dtype=jnp.float32)
     return jnp.broadcast_to(local, (mx, my, w2, local.shape[-1]))
+
+
+def expand_tail_mask(mask_add: np.ndarray, nglo: int, w2: int) -> jax.Array:
+    """Like expand_local_mask, but in the forward kernel's TAIL column order
+    [local ‖ glo]: (mx, my, W², 9W²+Nglo) f32, glo columns zero (never
+    masked). Same on-device-broadcast rationale as expand_local_mask."""
+    mx, my = mask_add.shape[:2]
+    tail = np.concatenate([mask_add[..., nglo:], mask_add[..., :nglo]], axis=-1)
+    tail_dev = jnp.asarray(tail, dtype=jnp.float32)
+    return jnp.broadcast_to(tail_dev, (mx, my, w2, tail.shape[-1]))
 
 
 def mask_to_additive(mask_bool: np.ndarray, mx: int, my: int, w2: int, nglo: int) -> np.ndarray:

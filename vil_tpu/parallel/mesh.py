@@ -52,8 +52,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Place host arrays on the mesh, batch-dim sharded."""
+    """Place host arrays on the mesh, batch-dim sharded.
+
+    Multi-host: each process passes its PER-HOST batch shard (the loaders
+    already shard by process, reference DistributedSampler semantics) and
+    the global array is assembled host-locally — no cross-host data copies
+    (``make_array_from_process_local_data`` over DCN-free local devices)."""
     sharding = batch_sharding(mesh, axis)
+    if mesh.devices.size > len([d for d in mesh.devices.flat if d.process_index == jax.process_index()]):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
@@ -117,12 +129,25 @@ def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True
 
 
 def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
+    """Jit the eval step: scalar metrics replicated; per-sample outputs
+    (``scores``) stay batch-sharded on their devices — replicating them
+    would all-gather every per-image row to every host (reference
+    GATHER_ON_CPU pain point, comm.py:90-140); hosts read back only their
+    addressable shards (trainer ``_host_rows``)."""
     state_s = replicated(mesh)
     data_s = batch_sharding(mesh, axis)
+
+    def wrapped(variables, images, targets, valid):
+        m = eval_step(variables, images, targets, valid)
+        if "scores" in m:
+            m = dict(m)
+            m["scores"] = jax.lax.with_sharding_constraint(m["scores"], data_s)
+        return m
+
     return jax.jit(
-        eval_step,
+        wrapped,
         in_shardings=(state_s, data_s, data_s, data_s),
-        out_shardings=state_s,
+        out_shardings=None,
     )
 
 

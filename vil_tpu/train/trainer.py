@@ -54,6 +54,19 @@ def lr_scalable(tx: optax.GradientTransformation) -> optax.GradientTransformatio
     return optax.GradientTransformation(init, update)
 
 
+def _host_rows(arr) -> np.ndarray:
+    """Rows of a batch-sharded device array owned by THIS host, in local
+    order (multi-host eval: each host keeps only its own per-image scores —
+    no cross-host replication; reference gathers all results to rank 0 via
+    pickled ByteTensors, comm.py:47-140)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(
+        arr.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def drop_lr(state: engine.TrainState, factor: float) -> engine.TrainState:
     opt_state = dict(state.opt_state)
     opt_state["lr_scale"] = opt_state["lr_scale"] / factor
@@ -245,7 +258,7 @@ class Trainer:
                 totals[k] += float(m[k])
             nbatch += 1
             if collect and "scores" in m:
-                all_scores.append(np.asarray(m["scores"])[:nreal])
+                all_scores.append(_host_rows(m["scores"])[:nreal])
                 all_targets.append(np.asarray(targets_np))
         top1 = 100.0 * totals["top1_sum"] / max(totals["count"], 1)
         top5 = 100.0 * totals["top5_sum"] / max(totals["count"], 1)
