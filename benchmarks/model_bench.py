@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Whole-model inference throughput for any zoo config (chained two-point
+timing — see bench.py docstring). Run ONE TPU process at a time.
+
+Usage: python benchmarks/model_bench.py [--arch vil_small] [--img 224]
+       [--batch 128] [--no-pallas] [--f32]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vil_tpu.utils.compilation_cache import enable as _enable_cache
+
+_enable_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="vil_small")
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--iters", type=int, nargs=2, default=(4, 12),
+                    metavar=("A", "B"))
+    args = ap.parse_args()
+
+    from vil_tpu.models import ARCH_ZOO, MsViT
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = MsViT(
+        arch=ARCH_ZOO[args.arch], img_size=args.img, num_classes=1000,
+        attn_type="longformerhand", sharew=True, norm_embed=True,
+        dtype=jnp.float32 if args.f32 or not on_tpu else jnp.bfloat16,
+        use_pallas=on_tpu and not args.no_pallas,
+    )
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, args.img, args.img, 3), jnp.float32
+    )
+    variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+
+    def chained(iters):
+        @jax.jit
+        def run(v, x):
+            def body(i, carry):
+                x_i = x * (1 + 1e-24 * carry).astype(x.dtype)
+                logits = model.apply(
+                    {"params": v["params"]}, x_i, deterministic=True
+                )
+                return carry + jnp.sum(logits).astype(jnp.float32) * 1e-30
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return run
+
+    ia, ib = args.iters
+    ra, rb = chained(ia), chained(ib)
+
+    def t(fn):
+        t0 = time.time()
+        float(fn(variables, x))
+        return time.time() - t0
+
+    t(ra), t(rb)
+    best = float("inf")
+    for _ in range(3):
+        d = (t(rb) - t(ra)) / (ib - ia)
+        if 0 < d < best:
+            best = d
+    print(
+        f"{args.arch} {args.img}px batch={args.batch} "
+        f"pallas={not args.no_pallas}: "
+        f"{best * 1e3:.2f} ms = {args.batch / best:.1f} img/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -269,3 +269,37 @@ def test_grain_loader_matches_thread_loader():
     # drop_last truncates the ragged batch identically
     g2 = list(GrainDataLoader(ds, sampler, 4, drop_last=True, num_workers=0))
     assert len(g2) == 2 and len(GrainDataLoader(ds, sampler, 4)) == 2
+
+
+def test_device_normalize_matches_host_normalize():
+    """INPUT.DEVICE_NORMALIZE: uint8 input + on-device (x/255-mean)/std in
+    PatchEmbed must match the host-normalized float path."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vil_tpu.data.transforms import ToNormalizedArray, ToUint8Array
+    from vil_tpu.models import ARCH_ZOO, MsViT
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 256, (56, 56, 3), np.uint8))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    x_f32 = ToNormalizedArray(mean, std)(img)[None]
+    x_u8 = ToUint8Array()(img)[None]
+    assert x_u8.dtype == np.uint8
+
+    model = MsViT(arch=ARCH_ZOO["vil_tiny"], img_size=56, num_classes=10,
+                  attn_type="longformerhand", sharew=True, norm_embed=True,
+                  input_mean=mean, input_std=std)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(x_f32))
+    out_f = model.apply(variables, jnp.asarray(x_f32))
+    out_u = model.apply(variables, jnp.asarray(x_u8))
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               atol=2e-5, rtol=1e-4)
+
+    # synthetic float [0,1] arrays quantize to uint8
+    arr = rng.rand(8, 8, 3).astype(np.float32)
+    u8 = ToUint8Array()(arr)
+    assert u8.dtype == np.uint8
+    np.testing.assert_allclose(u8 / 255.0, arr, atol=1 / 255.0)

@@ -25,6 +25,9 @@ INPUT = _n(_C, "INPUT", CN())
 _k(INPUT, "MEAN", [0.485, 0.456, 0.406])
 _k(INPUT, "STD", [0.229, 0.224, 0.225])
 _k(INPUT, "IMAGE_SIZE", 224)
+# ship uint8 images to device; (x/255 - mean)/std folds into PatchEmbed
+# (4x smaller H2D, no host float pass). Not used by the timm-aug train path.
+_k(INPUT, "DEVICE_NORMALIZE", False)
 _k(INPUT, "CROP_PCT", 0.875)
 _k(INPUT, "INTERPOLATION", 2)
 

@@ -234,10 +234,34 @@ class ToNormalizedArray:
         return (arr - self.mean) / self.std
 
 
+class ToUint8Array:
+    """PIL → uint8 HWC, normalization deferred to the device
+    (INPUT.DEVICE_NORMALIZE): 4× smaller host→device transfers and no
+    host-side float pass; PatchEmbed folds (x/255 − mean)/std into one
+    fused cast·scale+offset on device."""
+
+    def __call__(self, img) -> np.ndarray:
+        if isinstance(img, Image.Image):
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            # float [0,1] (synthetic datasets) → uint8
+            arr = np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return arr
+
+
 def build_transforms(cfg, is_train: bool = True) -> Compose:
     """Reference build_transforms (build.py:32-112)."""
     interp = to_interp(cfg.INPUT.INTERPOLATION)
-    normalize = ToNormalizedArray(cfg.INPUT.MEAN, cfg.INPUT.STD)
+    # DEVICE_NORMALIZE ships uint8 and defers (x/255 − mean)/std to the
+    # model (PatchEmbed); the timm-aug train path keeps host normalization
+    # (RandomErasing operates on the normalized scale)
+    if cfg.INPUT.DEVICE_NORMALIZE:
+        normalize = ToUint8Array()
+    else:
+        normalize = ToNormalizedArray(cfg.INPUT.MEAN, cfg.INPUT.STD)
     size = cfg.INPUT.IMAGE_SIZE
 
     if cfg.AUG.TIMM_AUG.USE_TRANSFORM and is_train:

@@ -48,6 +48,8 @@ def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
         drop_path_rate=cfg.MODEL.VIT.DROP_PATH,
         norm_embed=cfg.MODEL.VIT.NORM_EMBED,
         avg_pool=cfg.MODEL.VIT.AVG_POOL,
+        input_mean=tuple(cfg.INPUT.MEAN),
+        input_std=tuple(cfg.INPUT.STD),
     )
     if name.startswith("msvit"):
         args["arch"] = cfg.MODEL.VIT.MSVIT.ARCH

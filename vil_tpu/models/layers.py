@@ -107,11 +107,23 @@ class PatchEmbed(nn.Module):
     ln_eps: float = 1e-6
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # channel normalization folded on device for uint8 inputs
+    # (INPUT.DEVICE_NORMALIZE): one fused cast·scale+offset pass
+    input_mean: tuple = (0.485, 0.456, 0.406)
+    input_std: tuple = (0.229, 0.224, 0.225)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
         B, H, W, _ = x.shape
         p = self.patch_size
+        if x.dtype == jnp.uint8:
+            import numpy as np
+
+            mean = np.asarray(self.input_mean, np.float32)
+            std = np.asarray(self.input_std, np.float32)
+            scale = jnp.asarray(1.0 / (255.0 * std), self.dtype)
+            offset = jnp.asarray(-mean / std, self.dtype)
+            x = x.astype(self.dtype) * scale + offset
         x = nn.Conv(
             self.embed_dim,
             kernel_size=(p, p),

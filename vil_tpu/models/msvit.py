@@ -215,6 +215,9 @@ class MsViT(nn.Module):
     # '' = off, 'minimal' = save MXU outputs (recompute elementwise),
     # 'full' = recompute everything (smallest memory)
     remat: str = ""
+    # device-side channel normalization for uint8 inputs (INPUT.MEAN/STD)
+    input_mean: tuple = (0.485, 0.456, 0.406)
+    input_std: tuple = (0.229, 0.224, 0.225)
 
     @property
     def layer_cfgs(self) -> list[StageCfg]:
@@ -283,6 +286,8 @@ class MsViT(nn.Module):
                     ln_eps=self.ln_eps,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    input_mean=tuple(self.input_mean),
+                    input_std=tuple(self.input_std),
                     name=f"stage{sid + 1}_patch_embed",
                 )
             )
