@@ -14,10 +14,17 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(vil_kernel, "INTERPRET", True)
 
 
+@pytest.mark.parametrize("variant", ["whole_image", "two_pass"])
 @pytest.mark.parametrize(
     "nglo,with_bias,H,mx,my", [(1, True, 2, 3, 3), (0, False, 1, 3, 4), (2, True, 2, 4, 3)]
 )
-def test_backward_matches_xla_vjp(nglo, with_bias, H, mx, my):
+def test_backward_matches_xla_vjp(monkeypatch, variant, nglo, with_bias, H, mx, my):
+    # force the fused whole-image variant or the two-pass fallback
+    monkeypatch.setattr(
+        vil_backward,
+        "WHOLE_IMAGE_VMEM_BYTES",
+        2**62 if variant == "whole_image" else 0,
+    )
     B, w, M = 2, 3, 8
     C = H * M
     w2 = w * w

@@ -1,13 +1,29 @@
 """Pallas backward kernels for the fused 2-D sliding-chunk attention.
 
-Flash-style two-pass backward for the multi-head forward in vil_kernel:
+Two implementations, selected by VMEM footprint (mirroring the forward's
+whole-image / row-grid split):
 
+FUSED WHOLE-IMAGE (v7, preferred): grid (B,) — the entire per-image
+  Q/K/V/G is VMEM-resident, rows are unrolled statically. For each query
+  row i the kernel recomputes scores exactly like the forward v7 (global
+  K rows ride the main GEMM as the tail of the neighborhood concat), forms
+      dP = g·[V_nbh ‖ vg]ᵀ,   dS = P ⊙ (dP − rowsum(dP ⊙ P)),
+      dQ[i] = dS·[K_nbh ‖ kg]   (one GEMM, global term included),
+  and scatters the transposed dK/dV contributions of its 9 neighbor blocks
+  into per-row VMEM accumulators ((i+dx) % mx, column roll −dy). P and dS
+  NEVER touch HBM — the v6 two-pass design wrote a (B, mx, H, my, W², 9W²)
+  stash and re-read it 3×, ~4 GB of HBM traffic per stage-1 step at
+  batch 64. dbias accumulates in-kernel across the grid in TAIL order
+  (local ‖ global), so no dbias epilogue reduction is needed; only the tiny
+  normalized P_glo/dS_glo columns are emitted for the dK_glo/dV_glo XLA
+  epilogue einsums.
+
+TWO-PASS (v6, fallback for shapes whose image doesn't fit VMEM):
   pass 1 (grid (B, mx)): recompute scores/probs for row i (the same
-      3-row K/V neighborhood as the forward), form
-          dP = g·[vg ‖ V_nbh]ᵀ,   dS = P ⊙ (dP − rowsum(dP ⊙ P)),
+      3-row K/V neighborhood as the forward), form dP/dS,
       emit dQ[i] = dS·[kg ‖ K_nbh] and STORE P, dS (these are the only
-      saved intermediates — (B, mx, my, W², H, cols), never the reference's
-      autograd graph of 9 rolled copies).
+      saved intermediates — never the reference's autograd graph of 9
+      rolled copies).
   XLA epilogue: dbias / d(k_glo) / d(v_glo) are plain reductions over the
       stored P/dS — a few einsums.
   pass 2 (grid (B, mx)): dK[i] and dV[i] gather the transposed
@@ -36,6 +52,14 @@ from ..masks import NEIGHBOR_OFFSETS
 
 INTERPRET = False
 
+# whole-image fused backward must fit its VMEM estimate under this budget
+# (the pallas_call requests a 100 MB scope, which v5e grants as ~110 MB;
+# stage-1 ViL-Small 224 bf16 measures ~100 MB and runs — and beats the
+# two-pass fallback 9.0 vs 10.5 ms at batch 64, 1.3 vs 3.4 ms at stage 2).
+# Tests monkeypatch to 0 to force the two-pass variant (and to a huge value
+# to force whole-image).
+WHOLE_IMAGE_VMEM_BYTES = 100 * 2**20
+
 
 def _roll0(r, s):
     """Static cyclic roll along axis 0: out[c] = r[(c+s) % n]."""
@@ -52,6 +76,137 @@ def _nbh(rows, my):
     for dx, dy in NEIGHBOR_OFFSETS:
         parts.append(_roll0(rows[dx + 1], dy) if my > 1 else rows[dx + 1])
     return jnp.concatenate(parts, axis=1)
+
+
+def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
+    """Fused whole-image backward (grid (B,)). refs:
+    [q, k, v, g, (kg_row, vg_row)?, (bias_tail)?, mask_tail,
+     dq, dk, dv, (pg_out, dsg_out)?, (dbias_tail)?].
+
+    kg_row/vg_row are the global K/V rows pre-broadcast over my XLA-side
+    ((1, my, Nglo, C) — in-kernel broadcast lowers to an unsupported Mosaic
+    gather, see vil_kernel._nbh_rows) and appended as the TAIL of the
+    neighborhood concats, so the score and dP GEMMs produce the global
+    columns together with the local ones (forward-v7 layout). mask/bias are
+    in the same tail order. dK/dV accumulate in f32 VMEM values across the
+    statically-unrolled row loop; dbias accumulates across the batch grid in
+    a constant-index output block."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    g_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
+    bias_tail = None
+    if has_bias:
+        bias_tail = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    dq_ref = refs[i]; i += 1
+    dk_ref = refs[i]; i += 1
+    dv_ref = refs[i]; i += 1
+    pg_ref = dsg_ref = None
+    if nglo > 0:
+        pg_ref = refs[i]; i += 1
+        dsg_ref = refs[i]; i += 1
+    dbias_ref = None
+    if has_bias:
+        dbias_ref = refs[i]; i += 1
+
+    b_idx = pl.program_id(0)
+    C = q_ref.shape[-1]
+    M = C // H
+    nloc = 9 * w2
+
+    from .vil_kernel import _nbh_rows
+
+    dk_acc = [[None] * H for _ in range(mx)]
+    dv_acc = [[None] * H for _ in range(mx)]
+    db_acc = [None] * H
+
+    for i_row in range(mx):
+        k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        k_nbh = _nbh_rows(k_rows, my, kg_row)  # (my, 9W²+Nglo, C)
+        v_nbh = _nbh_rows(v_rows, my, vg_row)
+        q_row = q_ref[0, i_row]  # (my, W², C)
+        g_row = g_ref[0, i_row]
+        mask = mask_ref[i_row]  # (my, W², 9W²+Nglo) f32, tail order
+        for h in range(H):
+            hs = h * M
+            q_h = q_row[..., hs : hs + M]
+            k_h = k_nbh[..., hs : hs + M].astype(q_h.dtype)
+            v_h = v_nbh[..., hs : hs + M].astype(q_h.dtype)
+            g_h = g_row[..., hs : hs + M]
+            scores = jax.lax.dot_general(
+                q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (my, W², cols)
+            if has_bias:
+                scores = scores + bias_tail[h][None]
+            scores = scores + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # normalized
+            dp = jax.lax.dot_general(
+                g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (my, W², cols) — global columns included (vg in the concat)
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            ds_c = ds.astype(q_h.dtype)
+            # dQ = dS · [K_nbh ‖ kg] in ONE GEMM (global term included)
+            dq_h = jax.lax.dot_general(
+                ds_c, k_h, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+            if nglo > 0:
+                pg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = p[..., nloc:]
+                dsg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = ds[..., nloc:]
+            if has_bias:
+                db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
+                db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
+            p_c = p.astype(q_h.dtype)
+            # transposed per-block contributions: query row i's block
+            # (dx, dy) feeds dK/dV row (i+dx) with column roll −dy
+            for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+                c0 = bi * w2
+                dk_c = jax.lax.dot_general(
+                    ds_c[:, :, c0 : c0 + w2], q_h,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )  # (my, W², M)
+                dv_c = jax.lax.dot_general(
+                    p_c[:, :, c0 : c0 + w2], g_h,
+                    (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                if my > 1:
+                    dk_c = _roll0(dk_c, -dy)
+                    dv_c = _roll0(dv_c, -dy)
+                r = (i_row + dx) % mx
+                dk_acc[r][h] = dk_c if dk_acc[r][h] is None else dk_acc[r][h] + dk_c
+                dv_acc[r][h] = dv_c if dv_acc[r][h] is None else dv_acc[r][h] + dv_c
+
+    for r in range(mx):
+        dk_ref[0, r] = jnp.concatenate(
+            [a.astype(dk_ref.dtype) for a in dk_acc[r]], axis=-1
+        )
+        dv_ref[0, r] = jnp.concatenate(
+            [a.astype(dv_ref.dtype) for a in dv_acc[r]], axis=-1
+        )
+    if has_bias:
+        for h in range(H):
+            @pl.when(b_idx == 0)
+            def _(h=h):
+                dbias_ref[h] = db_acc[h]
+
+            @pl.when(b_idx != 0)
+            def _(h=h):
+                dbias_ref[h] += db_acc[h]
 
 
 def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
@@ -204,6 +359,111 @@ def _pass2_kernel(w2, my, H, *refs):
         dv_ref[0, 0, :, :, hs : hs + M] = dv_acc.astype(dv_ref.dtype)
 
 
+def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret):
+    """Fused one-pass whole-image backward (see _bwd_kernel_img)."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = nglo + 9 * w2
+    from .vil_kernel import expand_tail_mask
+
+    mask_tail = expand_tail_mask(mask_add, nglo, w2)
+    bias_tail = None
+    if has_bias:
+        bias_tail = jnp.concatenate(
+            [bias[..., nglo:], bias[..., :nglo]], axis=-1
+        ).astype(jnp.float32)  # (H, W², 9W²+Nglo), tail order
+
+    img_block = (1, mx, my, w2, C)
+    img_spec = pl.BlockSpec(
+        img_block, lambda b: (b, 0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [img_spec, img_spec, img_spec, img_spec]
+    operands = [q, k, v, g]
+    if nglo > 0:
+        # global rows pre-broadcast over my OUTSIDE the kernel (tiny tensors)
+        kg_spec = pl.BlockSpec(
+            (1, my, nglo, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [kg_spec, kg_spec]
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
+        ]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(bias_tail)
+    in_specs.append(
+        pl.BlockSpec((mx, my, w2, cols), lambda b: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(jnp.asarray(mask_tail))
+
+    out_specs = [img_spec, img_spec, img_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    if nglo > 0:
+        hn = H * nglo
+        pg_spec = pl.BlockSpec(
+            (1, mx, my, w2, hn), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [pg_spec, pg_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+        ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
+
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, has_bias),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    it = iter(results)
+    dq, dk, dv = next(it), next(it), next(it)
+    dkg = dvg = dbias = None
+    if nglo > 0:
+        pg_out, dsg_out = next(it), next(it)
+        M = C // H
+        pg5 = pg_out.reshape(B, mx, my, w2, H, nglo)
+        dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo)
+        q5 = q.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
+        g5 = g.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
+        # dQ's global term is already in the kernel's main GEMM; only the
+        # tiny global-row grads remain as XLA epilogue einsums
+        dkg = jnp.einsum("bxywhg,bxywhm->bghm", dsg5, q5).reshape(
+            B, nglo, C
+        ).astype(k_glo.dtype)
+        dvg = jnp.einsum("bxywhg,bxywhm->bghm", pg5, g5).reshape(
+            B, nglo, C
+        ).astype(v_glo.dtype)
+    if has_bias:
+        db_tail = next(it)  # (H, W², 9W²+Nglo) f32, tail order
+        nloc = 9 * w2
+        dbias = jnp.concatenate(
+            [db_tail[..., nloc:], db_tail[..., :nloc]], axis=-1
+        )
+    return dq, dk, dv, dkg, dvg, dbias
+
+
 def vil_attention_backward(
     q: jax.Array,
     k: jax.Array,
@@ -227,6 +487,52 @@ def vil_attention_backward(
         from . import vil_kernel as _vk
 
         interpret = INTERPRET or _vk.INTERPRET
+
+    # VMEM estimate for the fused whole-image variant. The dominant term is
+    # the per-iteration f32 score-sized temporaries (~5 of them live per
+    # (row, head) body): Mosaic's scoped-VMEM stack does NOT reuse slots
+    # across the statically-unrolled mx·H iterations (measured: stage-1
+    # f32 shapes request 115 MB with a naive estimate of 30 MB), so they
+    # all count. Shapes over budget fall back to the two-pass variant.
+    cols_tail = nglo + 9 * w2
+    img_bytes = (
+        mx * H * 5 * my * w2 * cols_tail * 4
+        + 7 * 2 * (q.size // B) * q.dtype.itemsize
+        + mx * my * w2 * cols_tail * 4
+        + (2 * bias.size * 4 if has_bias else 0)
+        + 2 * mx * my * w2 * C * 4
+    )
+    if img_bytes <= WHOLE_IMAGE_VMEM_BYTES:
+        return _backward_whole_image(
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
+        )
+    return _backward_two_pass(
+        q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret=interpret
+    )
+
+
+def _backward_two_pass(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_glo: Optional[jax.Array],
+    v_glo: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    g: jax.Array,
+    mask_add: np.ndarray,
+    num_heads: int,
+    *,
+    interpret: bool = False,
+):
+    """v6 two-pass backward (P/dS stash in HBM) — the fallback for shapes
+    whose whole-image VMEM estimate exceeds the budget (e.g. the 14×14-chunk
+    384² stage-1 grids). Measured at batch 64 bf16: 10.5 ms stage 1 /
+    3.4 ms stage 2 vs whole-image's 9.0 / 1.3 (benchmarks/bwd_bench.py)."""
+    B, mx, my, w2, C = q.shape
+    H = num_heads
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = 9 * w2  # stash/mask/bias hold LOCAL columns only
 
     # split bias / mask outside the kernel (lane-offset slices are free
     # here; the wq=1→W² expansion dodges the Mosaic broadcast-add crash —
