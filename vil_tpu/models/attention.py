@@ -25,7 +25,7 @@ from flax import linen as nn
 from ..ops import masks as masks_lib
 from ..ops import rpe as rpe_lib
 from ..ops import sliding_chunk as sc
-from ..ops.pallas import full_attention, vil_kernel
+from ..ops.pallas import full_attention, vil_kernel, vil_mode_kernel
 from .layers import trunc_normal_init
 
 Mode = Union[int, jax.Array]
@@ -321,12 +321,25 @@ class VilAttention(nn.Module):
             # (all reference configs train with attn_drop=0). Falls back to
             # the XLA tier otherwise.
             attn_drop_active = self.attn_drop > 0.0 and not deterministic
+            on_tpu = jax.default_backend() == "tpu"
             use_fused = (
                 self.use_pallas
                 and not traced_mode
                 and int(mode) == 0
                 and not attn_drop_active
-                and (jax.default_backend() == "tpu" or vil_kernel.INTERPRET)
+                and (on_tpu or vil_kernel.INTERPRET)
+            )
+            # sampled-neighbor modes (random-shift training, MODE > 0): the
+            # sampled block is aligned onto the self chunk by an XLA-side
+            # roll, then a per-chunk-local fused kernel attends to
+            # [self ‖ sampled ‖ glo] (vil_mode_kernel). exact==1 has no
+            # mode>0 mask tables (masks.invalid_mask raises in either tier).
+            use_fused_mode = (
+                self.use_pallas
+                and (traced_mode or int(mode) > 0)
+                and self.exact != 1
+                and not attn_drop_active
+                and (on_tpu or vil_mode_kernel.INTERPRET)
             )
             if use_fused:
                 mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, W, self.exact, 0)
@@ -362,8 +375,52 @@ class VilAttention(nn.Module):
                         bias_full,
                     )
                     x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
+            elif use_fused_mode:
+                if chunked_in:
+                    q_img, k_img_m, v_img_m = q_img_c, k_img_c, v_img_c
+                else:
+                    q_img = sc.chunkify(q_tok, nx, ny, W)
+                    k_img_m = sc.chunkify(k_tok[:, Nglo:], nx, ny, W)
+                    v_img_m = sc.chunkify(v_tok[:, Nglo:], nx, ny, W)
+                if traced_mode:
+                    shift = jnp.asarray(sc.MODE_ROLL_SHIFTS)[mode]
+                    s_x, s_y = shift[0], shift[1]
+                else:
+                    s_x, s_y = (int(s) for s in sc.MODE_ROLL_SHIFTS[int(mode)])
+                knb = sc._roll2d(k_img_m, s_x, s_y)
+                vnb = sc._roll2d(v_img_m, s_x, s_y)
+                mask_tail = vil_mode_kernel.mode_tail_mask(
+                    mx, my, padx, pady, W, self.exact, mode, Nglo
+                )
+                bias_tail = None
+                if self.rpe:
+                    if traced_mode:
+                        idx = jnp.asarray(rpe_lib.all_mode_rpe_indices(W))[mode - 1]
+                    else:
+                        idx = jnp.asarray(
+                            rpe_lib.sliding_chunk_rpe_index_mode(W, int(mode))
+                        )
+                    local_bias = rpe_table[idx.reshape(-1)].reshape(W2, 2 * W2, H)
+                    local_bias = local_bias.transpose(2, 0, 1)  # (H, W², 2W²)
+                    if Nglo >= 1:
+                        g2l_cols = jnp.broadcast_to(
+                            g2l[1][:, None, :], (H, W2, Nglo)
+                        )
+                        bias_tail = jnp.concatenate([local_bias, g2l_cols], axis=-1)
+                    else:
+                        bias_tail = local_bias
+                    bias_tail = bias_tail.astype(jnp.float32)
+                fused = vil_mode_kernel.make_fused_mode_attention(H)
+                x1 = fused(
+                    q_img, k_img_m, knb, v_img_m, vnb,
+                    kg_tok if Nglo >= 1 else None,
+                    vg_tok if Nglo >= 1 else None,
+                    bias_tail, mask_tail,
+                )  # (B, mx, my, W², C)
+                if not chunked_in:
+                    x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
             else:
-                # pure-XLA tier (also handles mode != 0 and attn dropout)
+                # pure-XLA tier (also handles mode -1 and attn dropout)
                 if chunked_in:
                     chunk5 = lambda t5: t5.reshape(
                         B, mx, my, W2, H, M

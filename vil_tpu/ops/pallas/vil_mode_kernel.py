@@ -1,0 +1,507 @@
+"""Fused Pallas kernels for the SAMPLED-NEIGHBOR (mode 1..8) attention path.
+
+The reference's random-shift training (longformer2d.py:113-124,
+slidingchunk_2d.py:15-24) attends each chunk to [self block ‖ ONE sampled
+neighbor block] — kv span 2W² instead of 9W². The sampled block is chosen
+per step, possibly on device (a traced scalar), so the kernel must be
+mode-agnostic: the (sx, sy) roll that aligns the sampled block onto the self
+chunk happens OUTSIDE the kernel as a cheap XLA ``jnp.roll`` (dynamic shifts
+are fine in XLA; inside Mosaic they are not — no bf16 dynamic_rotate).
+After the roll the attention is PER-CHUNK LOCAL: chunk (i, j) attends to
+k_self[i, j] and k_nb[i, j] only. That makes both directions embarrassingly
+parallel:
+
+  forward: one fused pass reusing vil_kernel._attend_row with the
+      2-part concat [self ‖ sampled] (+ global K rows at the tail, v7
+      layout); mask/bias arrive in TAIL order [self ‖ nb ‖ glo] as device
+      arrays (the per-mode tables are gathered from an 8-stack XLA-side —
+      one compilation serves all modes).
+  backward: single fused pass (no stash, no cross-row accumulation):
+      recompute P/dS, dQ = dS·[K_cat] in one GEMM, dK/dV for the self and
+      sampled columns are per-chunk transposed GEMMs written to separate
+      outputs — the inverse roll of the sampled-block grads is XLA autodiff's
+      job (the custom_vjp boundary takes k_nb/v_nb as inputs, so d(roll) is
+      derived for free). dbias accumulates in-kernel across the grid; the
+      tiny global columns go through the same pg/dsg epilogue einsums as
+      vil_backward.
+
+Replaces the pure-XLA tier for MODE>0 training steps (it remains the
+fallback for attention dropout / mode -1 / CPU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .vil_kernel import _attend_row
+
+INTERPRET = False
+
+# whole-image variant budget (bytes); tests monkeypatch to 0 / huge
+WHOLE_IMAGE_VMEM_BYTES = 48 * 2**20
+
+_NEG_INF = float(np.finfo(np.float32).min) / 2
+
+
+def _cat2(a, b, extra=None):
+    """(my, W², C) × 2 (+ (my, Nglo, C)) → (my, 2W²[+Nglo], C)."""
+    parts = [a, b]
+    if extra is not None:
+        parts.append(extra.astype(a.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _fwd_row(nglo, num_heads, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg,
+             bias_tail, mask, out_dtype):
+    k_cat = _cat2(ks, knb, kg_row)
+    v_cat = _cat2(vs, vnb)
+    return _attend_row(
+        q_row, k_cat, v_cat, vg, bias_tail, mask, nglo, num_heads, out_dtype
+    )
+
+
+def _fwd_kernel_row(nglo, w2, num_heads, has_bias, *refs):
+    """Row-grid forward body (grid (B, mx)). refs:
+    [q, k_self, k_nb, v_self, v_nb, (kg_row, vg)?, (bias_tail)?, mask, out]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    ks_ref = refs[i]; i += 1
+    knb_ref = refs[i]; i += 1
+    vs_ref = refs[i]; i += 1
+    vnb_ref = refs[i]; i += 1
+    kg_row = vg = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg = refs[i][0]; i += 1
+    bias_tail = None
+    if has_bias:
+        bias_tail = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]
+    out_ref[0, 0] = _fwd_row(
+        nglo, num_heads, has_bias, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
+        vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg, bias_tail, mask_ref[0],
+        out_ref.dtype,
+    )
+
+
+def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, *refs):
+    """Whole-image forward body (grid (B,)); rows unrolled statically."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    ks_ref = refs[i]; i += 1
+    knb_ref = refs[i]; i += 1
+    vs_ref = refs[i]; i += 1
+    vnb_ref = refs[i]; i += 1
+    kg_row = vg = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg = refs[i][0]; i += 1
+    bias_tail = None
+    if has_bias:
+        bias_tail = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]
+    for r in range(mx):
+        out_ref[0, r] = _fwd_row(
+            nglo, num_heads, has_bias, q_ref[0, r], ks_ref[0, r],
+            knb_ref[0, r], vs_ref[0, r], vnb_ref[0, r], kg_row, vg,
+            bias_tail, mask_ref[r], out_ref.dtype,
+        )
+
+
+def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
+             bias_tail, mask, g_row, outs, r):
+    """Backward for one chunk-row. ``outs`` = (dq, dks, dknb, dvs, dvnb,
+    pg?, dsg?) refs indexed at [0, r]; returns per-head dbias list."""
+    k_cat = _cat2(ks, knb, kg_row)
+    v_cat = _cat2(vs, vnb, vg_row)  # global V rides the dP GEMM too
+    C = q_row.shape[-1]
+    M = C // H
+    nloc = 2 * w2
+    dq_ref, dks_ref, dknb_ref, dvs_ref, dvnb_ref, pg_ref, dsg_ref = outs
+    db = [None] * H
+    for h in range(H):
+        hs = h * M
+        q_h = q_row[..., hs : hs + M]
+        k_h = k_cat[..., hs : hs + M].astype(q_h.dtype)
+        v_h = v_cat[..., hs : hs + M].astype(q_h.dtype)
+        g_h = g_row[..., hs : hs + M]
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (my, W², 2W²+Nglo)
+        if has_bias:
+            scores = scores + bias_tail[h][None]
+        scores = scores + mask
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        dp = jax.lax.dot_general(
+            g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        ds_c = ds.astype(q_h.dtype)
+        p_c = p.astype(q_h.dtype)
+        dq_h = jax.lax.dot_general(
+            ds_c, k_h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # global term included (kg in the concat)
+        dq_ref[0, r, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+        for c0, dk_ref_, dv_ref_ in (
+            (0, dks_ref, dvs_ref), (w2, dknb_ref, dvnb_ref)
+        ):
+            dk_b = jax.lax.dot_general(
+                ds_c[:, :, c0 : c0 + w2], q_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (my, W², M)
+            dv_b = jax.lax.dot_general(
+                p_c[:, :, c0 : c0 + w2], g_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dk_ref_[0, r, :, :, hs : hs + M] = dk_b.astype(dk_ref_.dtype)
+            dv_ref_[0, r, :, :, hs : hs + M] = dv_b.astype(dv_ref_.dtype)
+        if nglo > 0:
+            pg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = p[..., nloc:]
+            dsg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = ds[..., nloc:]
+        if has_bias:
+            db[h] = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
+    return db
+
+
+def _split_bwd_refs(nglo, has_bias, refs):
+    i = 0
+    q_ref = refs[i]; i += 1
+    ks_ref = refs[i]; i += 1
+    knb_ref = refs[i]; i += 1
+    vs_ref = refs[i]; i += 1
+    vnb_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
+    bias_tail = None
+    if has_bias:
+        bias_tail = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    g_ref = refs[i]; i += 1
+    outs = list(refs[i : i + 5]); i += 5
+    outs += [refs[i], refs[i + 1]] if nglo > 0 else [None, None]
+    if nglo > 0:
+        i += 2
+    dbias_ref = refs[i] if has_bias else None
+    return (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row,
+            bias_tail, mask_ref, g_ref, tuple(outs), dbias_ref)
+
+
+def _bwd_kernel_row(nglo, w2, H, has_bias, *refs):
+    (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
+     mask_ref, g_ref, outs, dbias_ref) = _split_bwd_refs(nglo, has_bias, refs)
+    b_idx, i_idx = pl.program_id(0), pl.program_id(1)
+    first = jnp.logical_and(b_idx == 0, i_idx == 0)
+    # row-grid blocks are (1, 1, ...): re-point outs at row index 0
+    db = _bwd_row(
+        nglo, w2, H, has_bias, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
+        vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg_row, bias_tail, mask_ref[0],
+        g_ref[0, 0], outs, 0,
+    )
+    if has_bias:
+        for h in range(H):
+            @pl.when(first)
+            def _(h=h):
+                dbias_ref[h] = db[h]
+
+            @pl.when(jnp.logical_not(first))
+            def _(h=h):
+                dbias_ref[h] += db[h]
+
+
+def _bwd_kernel_img(nglo, w2, mx, H, has_bias, *refs):
+    (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
+     mask_ref, g_ref, outs, dbias_ref) = _split_bwd_refs(nglo, has_bias, refs)
+    b_idx = pl.program_id(0)
+    db_acc = [None] * H
+    for r in range(mx):
+        db = _bwd_row(
+            nglo, w2, H, has_bias, q_ref[0, r], ks_ref[0, r], knb_ref[0, r],
+            vs_ref[0, r], vnb_ref[0, r], kg_row, vg_row, bias_tail,
+            mask_ref[r], g_ref[0, r], outs, r,
+        )
+        if has_bias:
+            for h in range(H):
+                db_acc[h] = db[h] if db_acc[h] is None else db_acc[h] + db[h]
+    if has_bias:
+        for h in range(H):
+            @pl.when(b_idx == 0)
+            def _(h=h):
+                dbias_ref[h] = db_acc[h]
+
+            @pl.when(b_idx != 0)
+            def _(h=h):
+                dbias_ref[h] += db_acc[h]
+
+
+def _common_specs(B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H):
+    """(in_specs for [q, ks, knb, vs, vnb, (kg,vg)?, (bias)?, mask],
+    img/row spec, const3 index map)."""
+    if whole_image:
+        img_spec = pl.BlockSpec(
+            (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        glo_idx = lambda b: (b, 0, 0, 0)
+        const3 = lambda b: (0, 0, 0)
+        mask_spec = pl.BlockSpec(
+            (mx, my, w2, cols), lambda b: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        img_spec = pl.BlockSpec(
+            (1, 1, my, w2, C), lambda b, i: (b, i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        glo_idx = lambda b, i: (b, 0, 0, 0)
+        const3 = lambda b, i: (0, 0, 0)
+        mask_spec = pl.BlockSpec(
+            (1, my, w2, cols), lambda b, i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    in_specs = [img_spec] * 5
+    if nglo > 0:
+        glo_spec = pl.BlockSpec(
+            (1, my, nglo, C), glo_idx, memory_space=pltpu.VMEM
+        )
+        in_specs += [glo_spec, glo_spec]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((H, w2, cols), const3, memory_space=pltpu.VMEM)
+        )
+    in_specs.append(mask_spec)
+    return in_specs, img_spec, const3
+
+
+def mode_tail_mask(mx, my, padx, pady, w, exact, mode, nglo):
+    """Additive f32 validity mask in TAIL order ([self ‖ nb ‖ glo]),
+    expanded on device to (mx, my, W², 2W²+Nglo). For a traced ``mode`` the
+    per-mode table is a dynamic gather from the 8-stack — one compilation
+    serves all sampled blocks (masks.all_mode_masks)."""
+    from .. import masks as masks_lib
+
+    w2 = w * w
+
+    def to_add(tbl):  # bool (…, mx·my, 2W²) → additive with zero glo cols
+        add = np.where(tbl, _NEG_INF, 0.0).astype(np.float32)
+        add = add.reshape(add.shape[:-2] + (mx, my, 1, 2 * w2))
+        if nglo > 0:
+            zeros = np.zeros(add.shape[:-1] + (nglo,), np.float32)
+            add = np.concatenate([add, zeros], axis=-1)
+        return add
+
+    if isinstance(mode, (int, np.integer)):
+        add = to_add(masks_lib.invalid_mask(mx, my, padx, pady, w, exact,
+                                            int(mode)))
+        sel = jnp.asarray(add)
+    else:
+        add = to_add(masks_lib.all_mode_masks(mx, my, padx, pady, w, exact))
+        sel = jnp.asarray(add)[mode - 1]
+    return jnp.broadcast_to(sel, (mx, my, w2, 2 * w2 + nglo))
+
+
+def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
+                 num_heads, *, interpret=None):
+    """Fused sampled-mode forward. q/ks/knb/vs/vnb: (B, mx, my, W², C);
+    k_glo/v_glo (B, Nglo, C) | None; bias_tail (H, W², 2W²+Nglo) f32 | None
+    (TAIL order [self ‖ nb ‖ glo], may be traced); mask_tail
+    (mx, my, W², 2W²+Nglo) f32 additive device array."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias_tail is not None
+    cols = 2 * w2 + nglo
+    if interpret is None:
+        interpret = INTERPRET
+
+    # the mx·H·(live f32 score temps) term counts fully: Mosaic's scoped
+    # stack does not reuse slots across the statically-unrolled iterations
+    # (see vil_backward.vil_attention_backward)
+    img_bytes = (
+        mx * num_heads * 3 * my * w2 * cols * 4
+        + 6 * 2 * (q.size // B) * q.dtype.itemsize
+        + mx * my * w2 * cols * 4
+    )
+    whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+    in_specs, img_spec, const3 = _common_specs(
+        B, mx, my, w2, C, nglo, has_bias, cols, whole_image, num_heads
+    )
+    operands = [q, ks, knb, vs, vnb]
+    if nglo > 0:
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)), v_glo
+        ]
+        # forward keeps vg as (B, Nglo, C): the glo output term is a VPU
+        # mul+reduce over the tiny normalized tail (see _attend_row)
+        in_specs[5] = pl.BlockSpec(
+            (1, my, nglo, C),
+            (lambda b: (b, 0, 0, 0)) if whole_image else (lambda b, i: (b, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs[6] = pl.BlockSpec(
+            (1, nglo, C),
+            (lambda b: (b, 0, 0)) if whole_image else (lambda b, i: (b, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+    if has_bias:
+        operands.append(bias_tail)
+    operands.append(mask_tail)
+
+    kernel = (
+        functools.partial(_fwd_kernel_img, nglo, w2, mx, num_heads, has_bias)
+        if whole_image
+        else functools.partial(_fwd_kernel_row, nglo, w2, num_heads, has_bias)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,) if whole_image else (B, mx),
+        in_specs=in_specs,
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
+                  g, num_heads, *, interpret=None):
+    """Fused sampled-mode backward. Returns
+    (dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias_tail)."""
+    B, mx, my, w2, C = q.shape
+    H = num_heads
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias_tail is not None
+    cols = 2 * w2 + nglo
+    if interpret is None:
+        interpret = INTERPRET
+
+    img_bytes = (
+        mx * H * 6 * my * w2 * cols * 4  # unrolled-iteration f32 stack
+        + 11 * 2 * (q.size // B) * q.dtype.itemsize
+        + mx * my * w2 * cols * 4
+    )
+    whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+    in_specs, img_spec, const3 = _common_specs(
+        B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H
+    )
+    in_specs.append(img_spec)  # g
+    operands = [q, ks, knb, vs, vnb]
+    if nglo > 0:
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
+        ]
+    if has_bias:
+        operands.append(bias_tail)
+    operands.append(mask_tail)
+    operands.append(g)
+
+    out_specs = [img_spec] * 5
+    out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(5)]
+    if nglo > 0:
+        hn = H * nglo
+        pg_spec = pl.BlockSpec(
+            (1, mx, my, w2, hn) if whole_image else (1, 1, my, w2, hn),
+            (lambda b: (b, 0, 0, 0, 0)) if whole_image
+            else (lambda b, i: (b, i, 0, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [pg_spec, pg_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+        ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((H, w2, cols), const3, memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
+
+    kernel = (
+        functools.partial(_bwd_kernel_img, nglo, w2, mx, H, has_bias)
+        if whole_image
+        else functools.partial(_bwd_kernel_row, nglo, w2, H, has_bias)
+    )
+    results = pl.pallas_call(
+        kernel,
+        grid=(B,) if whole_image else (B, mx),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    it = iter(results)
+    dq, dks, dknb, dvs, dvnb = (next(it) for _ in range(5))
+    dkg = dvg = dbias = None
+    if nglo > 0:
+        pg_out, dsg_out = next(it), next(it)
+        M = C // H
+        pg5 = pg_out.reshape(B, mx, my, w2, H, nglo)
+        dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo)
+        q5 = q.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
+        g5 = g.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
+        dkg = jnp.einsum("bxywhg,bxywhm->bghm", dsg5, q5).reshape(
+            B, nglo, C
+        ).astype(k_glo.dtype)
+        dvg = jnp.einsum("bxywhg,bxywhm->bghm", pg5, g5).reshape(
+            B, nglo, C
+        ).astype(v_glo.dtype)
+    if has_bias:
+        dbias = next(it)  # (H, W², cols) f32, tail order
+    return dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias
+
+
+def make_fused_mode_attention(num_heads: int):
+    """custom_vjp wrapper: fused(q, ks, knb, vs, vnb, kg, vg, bias_tail,
+    mask_tail) → (B, mx, my, W², C).
+
+    bias_tail/mask_tail are TAIL-order ([self ‖ nb ‖ glo]) and may be traced
+    (per-mode gathers) — bias is differentiable (RPE table), mask gets a
+    symbolic-zero gradient. The k_nb/v_nb inputs are the PRE-ROLLED sampled
+    blocks; taking them as custom_vjp inputs makes XLA derive the inverse
+    roll for dK/dV automatically."""
+
+    @jax.custom_vjp
+    def fused(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail):
+        return mode_forward(
+            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, num_heads
+        )
+
+    def fwd(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail):
+        out = fused(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail)
+        return out, (q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail)
+
+    def bwd(res, g):
+        q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail = res
+        dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias = mode_backward(
+            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, g, num_heads
+        )
+        return (
+            dq, dks, dknb, dvs, dvnb,
+            dkg if kg is not None else None,
+            dvg if vg is not None else None,
+            dbias.astype(bias_tail.dtype) if bias_tail is not None else None,
+            jnp.zeros_like(mask_tail),
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
