@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from .arch import ARCH_ZOO, StageCfg, parse_arch
 from .msvit import MsViT
+from .resnet import RESNET_ZOO, ResNet, build_resnet, import_torch_resnet
 
 MODEL_REGISTRY = {
     "msvit": MsViT,
@@ -22,6 +23,26 @@ def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
     """Construct the model from a config tree (cfg → kwargs mapping mirrors
     reference models/__init__.py:37-52)."""
     name = cfg.MODEL.ARCH
+    if name in RESNET_ZOO:
+        # torchvision baseline zoo (reference models/__init__.py:25-34),
+        # rebuilt natively — see resnet.py. PRETRAINED would require hub
+        # downloads; import local torchvision .pth weights instead
+        # (utils/checkpoint or models.import_torch_resnet).
+        if cfg.MODEL.PRETRAINED:
+            raise ValueError(
+                "MODEL.PRETRAINED needs torchvision hub access; load local "
+                "weights via MODEL.MODEL_PATH / import_torch_resnet instead"
+            )
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+                else jnp.float32
+            )
+        logging.info("=> creating torchvision-zoo model '%s'", name)
+        return build_resnet(
+            name, num_classes=cfg.DATA.NUM_CLASSES, dtype=dtype,
+            input_mean=tuple(cfg.INPUT.MEAN), input_std=tuple(cfg.INPUT.STD),
+        )
     if name in ARCH_ZOO:
         # named zoo convenience: MODEL.ARCH 'vil_small' selects the released
         # configuration's ARCH string
@@ -76,7 +97,11 @@ __all__ = [
     "ARCH_ZOO",
     "MODEL_REGISTRY",
     "MsViT",
+    "RESNET_ZOO",
+    "ResNet",
     "StageCfg",
     "build_model",
+    "build_resnet",
+    "import_torch_resnet",
     "parse_arch",
 ]

@@ -101,28 +101,43 @@ def make_train_step(
             jax.random.randint(rng_mode, (), 1, 9) if random_shift else 0
         )
 
+        # BatchNorm models (the torchvision-zoo ResNets) update running
+        # statistics in-step; under jit with a sharded batch the batch mean
+        # is the GLOBAL mean, so this is SyncBatchNorm semantics for free
+        has_bn = bool(state.buffers) and "batch_stats" in state.buffers
+
         def loss_fn(params):
             variables = {"params": params}
             if state.buffers:
                 variables.update(state.buffers)
-            logits = model.apply(
+            out = model.apply(
                 variables,
                 images,
                 deterministic=False,
                 mode=mode,
                 rngs={"dropout": rng_drop},
+                mutable=["batch_stats"] if has_bn else False,
             )
-            return criterion(logits.astype(jnp.float32), targets), logits
+            logits, new_model_state = out if has_bn else (out, {})
+            return (
+                criterion(logits.astype(jnp.float32), targets),
+                (logits, new_model_state),
+            )
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
         )
+        new_buffers = state.buffers
+        if has_bn:
+            new_buffers = dict(state.buffers)
+            new_buffers["batch_stats"] = new_model_state["batch_stats"]
         new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt_state
+            step=state.step + 1, params=new_params, opt_state=new_opt_state,
+            buffers=new_buffers,
         )
         metrics = {"loss": loss}
         if targets.ndim == 1:  # hard labels: accuracy is meaningful
