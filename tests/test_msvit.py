@@ -83,7 +83,8 @@ def test_grad_flows():
         out = model.apply({"params": params}, x)
         return jnp.sum(out**2)
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])  # jit: op-by-op
+    # CPU execution of this backward graph takes minutes
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
     # patch-embed conv grad must be nonzero (end-to-end connectivity)

@@ -511,15 +511,15 @@ class VilAttention(nn.Module):
         # (longformer2d.py:209-227). In chunked mode the local keys/values
         # arrive in chunk order — softmax attention is permutation-invariant
         # over keys, and pad positions (if any) are masked out below.
-        flat4 = lambda t5: t5.reshape(B, -1, H, M)
         if self.sharew:
             query_g, proj_g = query, proj
             # kv_global ≡ kv when weights are shared: reuse the local
             # branch's K/V instead of recomputing the (N, 2C) projection
             # (the reference recomputes it — numerically identical)
             if chunked_in:
-                k_all4 = jnp.concatenate([heads4(kg_tok), flat4(k_img_c)], axis=1)
-                v_all4 = jnp.concatenate([heads4(vg_tok), flat4(v_img_c)], axis=1)
+                kg_src, vg_src, k_img_src, v_img_src = (
+                    kg_tok, vg_tok, k_img_c, v_img_c
+                )
             else:
                 k_all4, v_all4 = heads4(k_tok), heads4(v_tok)
         else:
@@ -533,15 +533,12 @@ class VilAttention(nn.Module):
                 name="proj_global",
             )
             if chunked_in:
-                kgg, vgg = jnp.split(kv_g(x_glo), 2, axis=-1)
-                kgi, vgi = jnp.split(kv_g(x_img), 2, axis=-1)
-                k_all4 = jnp.concatenate([heads4(kgg), flat4(kgi)], axis=1)
-                v_all4 = jnp.concatenate([heads4(vgg), flat4(vgi)], axis=1)
+                kg_src, vg_src = jnp.split(kv_g(x_glo), 2, axis=-1)
+                k_img_src, v_img_src = jnp.split(kv_g(x_img), 2, axis=-1)
             else:
                 k_all4, v_all4 = (
                     heads4(t) for t in jnp.split(kv_g(x), 2, axis=-1)
                 )
-        n_cols = k_all4.shape[1]
         qg4 = heads4(
             query_g(x_glo if chunked_in else x[:, :Nglo]) * scale
         )
@@ -550,42 +547,84 @@ class VilAttention(nn.Module):
         # lower poorly on TPU (measured 3× slower than mul+reduce on v5e,
         # benchmarks/block_anatomy.py) — one pass over K, one over V.
         qg_t = qg4.transpose(0, 2, 1, 3)  # (B, H, Nglo, M)
-        attn0 = jnp.sum(
-            (k_all4[:, :, :, None, :] * qg_t[:, None]).astype(jnp.float32),
-            axis=-1,
-        )  # (B, T, H, Nglo)
-        if self.rpe:
-            bias = jnp.concatenate(
-                [
-                    g2g,
-                    jnp.broadcast_to(
-                        g2l[0][:, :, None], (H, Nglo, n_cols - Nglo)
-                    ),
-                ],
+        drop0 = nn.Dropout(self.attn_drop)
+        if chunked_in:
+            # chunked-native two-part softmax: the local keys stay in the
+            # stage-resident (B, mx, my, W², C) layout — flattening to token
+            # layout costs a (B, N, H, M) relayout copy each way, fwd AND
+            # bwd (measured ~1.3 ms/step in the train profile). Softmax over
+            # the partitioned key set [glo ‖ local] is exact via the shared
+            # running max / denominator.
+            _, mxc, myc, _, _ = x_img.shape
+            k6 = k_img_src.reshape(B, mxc, myc, W2, H, M)  # free reshapes
+            v6 = v_img_src.reshape(B, mxc, myc, W2, H, M)
+            kg4 = heads4(kg_src)  # (B, Nglo, H, M)
+            vg4 = heads4(vg_src)
+            s_loc = jnp.sum(
+                (k6[:, :, :, :, :, None, :]
+                 * qg_t[:, None, None, None]).astype(jnp.float32),
                 axis=-1,
-            )  # (H, Nglo, T)
-            attn0 = attn0 + bias.transpose(2, 0, 1)[None]
-        if chunked_in and n_cols - Nglo != Nloc:
-            # padded chunk grid: mask pad-key columns (global queries must
-            # only see real tokens — parity with the token-layout path)
-            valid = np.concatenate(
-                [
-                    np.ones((Nglo,), dtype=bool),
-                    masks_lib.chunk_valid(nx, ny, W).reshape(-1),
-                ]
-            )
-            attn0 = jnp.where(
-                jnp.asarray(valid)[None, :, None, None], attn0, -jnp.inf
-            )
-        probs0 = _softmax_max_sub(attn0, axis=1)
-        probs0 = nn.Dropout(self.attn_drop)(probs0, deterministic=deterministic)
-        x0 = jnp.sum(
-            (
-                probs0.astype(self.dtype)[..., None]
-                * v_all4[:, :, :, None, :]
-            ).astype(jnp.float32),
-            axis=1,
-        )  # (B, H, Nglo, M)
+            )  # (B, mx, my, W², H, Nglo)
+            s_glo = jnp.sum(
+                (kg4[:, :, :, None, :] * qg_t[:, None]).astype(jnp.float32),
+                axis=-1,
+            )  # (B, Nglo_k, H, Nglo)
+            if self.rpe:
+                s_glo = s_glo + g2g.transpose(2, 0, 1)[None]
+                s_loc = s_loc + g2l[0][None, None, None, None]  # (H, Nglo)
+            if mxc * myc * W2 != Nloc:
+                # padded chunk grid: mask pad-key positions (global queries
+                # must only see real tokens)
+                valid = masks_lib.chunk_valid(nx, ny, W)
+                s_loc = jnp.where(
+                    jnp.asarray(valid)[None, :, :, :, None, None],
+                    s_loc, -jnp.inf,
+                )
+            m0 = jnp.maximum(
+                jax.lax.stop_gradient(jnp.max(s_loc, axis=(1, 2, 3))),
+                jax.lax.stop_gradient(jnp.max(s_glo, axis=1)),
+            )  # (B, H, Nglo)
+            e_loc = jnp.exp(s_loc - m0[:, None, None, None])
+            e_glo = jnp.exp(s_glo - m0[:, None])
+            den = e_loc.sum(axis=(1, 2, 3)) + e_glo.sum(axis=1)
+            p_loc = drop0(e_loc / den[:, None, None, None],
+                          deterministic=deterministic)
+            p_glo = drop0(e_glo / den[:, None], deterministic=deterministic)
+            x0 = jnp.sum(
+                (p_loc[..., None].astype(self.dtype)
+                 * v6[:, :, :, :, :, None, :]).astype(jnp.float32),
+                axis=(1, 2, 3),
+            ) + jnp.sum(
+                (p_glo[..., None].astype(self.dtype)
+                 * vg4[:, :, :, None, :]).astype(jnp.float32),
+                axis=1,
+            )  # (B, H, Nglo, M)
+        else:
+            n_cols = k_all4.shape[1]
+            attn0 = jnp.sum(
+                (k_all4[:, :, :, None, :] * qg_t[:, None]).astype(jnp.float32),
+                axis=-1,
+            )  # (B, T, H, Nglo)
+            if self.rpe:
+                bias = jnp.concatenate(
+                    [
+                        g2g,
+                        jnp.broadcast_to(
+                            g2l[0][:, :, None], (H, Nglo, n_cols - Nglo)
+                        ),
+                    ],
+                    axis=-1,
+                )  # (H, Nglo, T)
+                attn0 = attn0 + bias.transpose(2, 0, 1)[None]
+            probs0 = _softmax_max_sub(attn0, axis=1)
+            probs0 = drop0(probs0, deterministic=deterministic)
+            x0 = jnp.sum(
+                (
+                    probs0.astype(self.dtype)[..., None]
+                    * v_all4[:, :, :, None, :]
+                ).astype(jnp.float32),
+                axis=1,
+            )  # (B, H, Nglo, M)
         x0 = (
             x0.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, Nglo, C)
         )

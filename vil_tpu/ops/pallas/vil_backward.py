@@ -60,6 +60,14 @@ INTERPRET = False
 # to force whole-image).
 WHOLE_IMAGE_VMEM_BYTES = 100 * 2**20
 
+# wide (my, 9W², M) dK/dV GEMMs + static sublane slices vs 9 small per-block
+# GEMMs in the whole-image kernel. None = auto (wide when the head dim M is
+# < 64: the 49-row per-block GEMMs waste most of a 128-lane MXU tile at
+# M=32 — measured stage-1 9.03 → 5.79 ms; at M=64 per-block is already
+# efficient and the slices only add overhead, 1.26 → 1.41 ms at stage 2).
+# True/False force one variant for A/B timing.
+WIDE_DKDV = None
+
 
 def _roll0(r, s):
     """Static cyclic roll along axis 0: out[c] = r[(c+s) % n]."""
@@ -171,19 +179,35 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
                 db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
             p_c = p.astype(q_h.dtype)
             # transposed per-block contributions: query row i's block
-            # (dx, dy) feeds dK/dV row (i+dx) with column roll −dy
-            for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
-                c0 = bi * w2
-                dk_c = jax.lax.dot_general(
-                    ds_c[:, :, c0 : c0 + w2], q_h,
-                    (((1,), (1,)), ((0,), (0,))),
+            # (dx, dy) feeds dK/dV row (i+dx) with column roll −dy. ONE wide
+            # (my, 9W², M) GEMM per tensor (9 separate 49-row GEMMs waste
+            # ~60% of each 128-row MXU tile), then static sublane slices.
+            wide = WIDE_DKDV if WIDE_DKDV is not None else M < 64
+            if wide:
+                dk_wide = jax.lax.dot_general(
+                    ds_c[:, :, :nloc], q_h, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # (my, W², M)
-                dv_c = jax.lax.dot_general(
-                    p_c[:, :, c0 : c0 + w2], g_h,
-                    (((1,), (1,)), ((0,), (0,))),
+                )  # (my, 9W², M)
+                dv_wide = jax.lax.dot_general(
+                    p_c[:, :, :nloc], g_h, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
+            for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+                c0 = bi * w2
+                if wide:
+                    dk_c = dk_wide[:, c0 : c0 + w2, :]
+                    dv_c = dv_wide[:, c0 : c0 + w2, :]
+                else:
+                    dk_c = jax.lax.dot_general(
+                        ds_c[:, :, c0 : c0 + w2], q_h,
+                        (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )  # (my, W², M)
+                    dv_c = jax.lax.dot_general(
+                        p_c[:, :, c0 : c0 + w2], g_h,
+                        (((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    )
                 if my > 1:
                     dk_c = _roll0(dk_c, -dy)
                     dv_c = _roll0(dv_c, -dy)
@@ -359,6 +383,28 @@ def _pass2_kernel(w2, my, H, *refs):
         dv_ref[0, 0, :, :, hs : hs + M] = dv_acc.astype(dv_ref.dtype)
 
 
+def _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H):
+    """dK_glo/dV_glo epilogue einsums over the kernel-emitted normalized
+    global columns. Contraction runs in the INPUT dtype with f32
+    accumulation — casting the full q/g to f32 here materializes ~10 MB
+    relayout copies per stage (measured ~1.4 ms/step in the train profile);
+    the tiny pg/dsg tensors are cast down instead."""
+    B, mx, my, w2, C = q.shape
+    nglo = k_glo.shape[1]
+    M = C // H
+    pg5 = pg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
+    dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
+    q5 = q.reshape(B, mx, my, w2, H, M)
+    g5 = g.reshape(B, mx, my, w2, H, M)
+    dkg = jnp.einsum(
+        "bxywhg,bxywhm->bghm", dsg5, q5, preferred_element_type=jnp.float32
+    ).reshape(B, nglo, C).astype(k_glo.dtype)
+    dvg = jnp.einsum(
+        "bxywhg,bxywhm->bghm", pg5, g5, preferred_element_type=jnp.float32
+    ).reshape(B, nglo, C).astype(v_glo.dtype)
+    return dkg, dvg
+
+
 def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret):
     """Fused one-pass whole-image backward (see _bwd_kernel_img)."""
     B, mx, my, w2, C = q.shape
@@ -442,19 +488,9 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
     dkg = dvg = dbias = None
     if nglo > 0:
         pg_out, dsg_out = next(it), next(it)
-        M = C // H
-        pg5 = pg_out.reshape(B, mx, my, w2, H, nglo)
-        dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo)
-        q5 = q.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
-        g5 = g.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
         # dQ's global term is already in the kernel's main GEMM; only the
         # tiny global-row grads remain as XLA epilogue einsums
-        dkg = jnp.einsum("bxywhg,bxywhm->bghm", dsg5, q5).reshape(
-            B, nglo, C
-        ).astype(k_glo.dtype)
-        dvg = jnp.einsum("bxywhg,bxywhm->bghm", pg5, g5).reshape(
-            B, nglo, C
-        ).astype(v_glo.dtype)
+        dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
     if has_bias:
         db_tail = next(it)  # (H, W², 9W²+Nglo) f32, tail order
         nloc = 9 * w2

@@ -453,18 +453,10 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     dq, dks, dknb, dvs, dvnb = (next(it) for _ in range(5))
     dkg = dvg = dbias = None
     if nglo > 0:
+        from .vil_backward import _glo_grads
+
         pg_out, dsg_out = next(it), next(it)
-        M = C // H
-        pg5 = pg_out.reshape(B, mx, my, w2, H, nglo)
-        dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo)
-        q5 = q.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
-        g5 = g.reshape(B, mx, my, w2, H, M).astype(jnp.float32)
-        dkg = jnp.einsum("bxywhg,bxywhm->bghm", dsg5, q5).reshape(
-            B, nglo, C
-        ).astype(k_glo.dtype)
-        dvg = jnp.einsum("bxywhg,bxywhm->bghm", pg5, g5).reshape(
-            B, nglo, C
-        ).astype(v_glo.dtype)
+        dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
     if has_bias:
         dbias = next(it)  # (H, W², cols) f32, tail order
     return dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias
