@@ -172,8 +172,12 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
             )
             dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
             if nglo > 0:
-                pg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = p[..., nloc:]
-                dsg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = ds[..., nloc:]
+                pg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
+                    p[..., nloc:].astype(pg_ref.dtype)
+                )
+                dsg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
+                    ds[..., nloc:].astype(dsg_ref.dtype)
+                )
             if has_bias:
                 db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
                 db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
@@ -462,8 +466,8 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
         )
         out_specs += [pg_spec, pg_spec]
         out_shapes += [
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
         ]
     if has_bias:
         out_specs.append(

@@ -170,8 +170,12 @@ def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
             dk_ref_[0, r, :, :, hs : hs + M] = dk_b.astype(dk_ref_.dtype)
             dv_ref_[0, r, :, :, hs : hs + M] = dv_b.astype(dv_ref_.dtype)
         if nglo > 0:
-            pg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = p[..., nloc:]
-            dsg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = ds[..., nloc:]
+            pg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = (
+                p[..., nloc:].astype(pg_ref.dtype)
+            )
+            dsg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = (
+                ds[..., nloc:].astype(dsg_ref.dtype)
+            )
         if has_bias:
             db[h] = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
     return db
@@ -423,9 +427,11 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
             memory_space=pltpu.VMEM,
         )
         out_specs += [pg_spec, pg_spec]
+        # input dtype: the glo-grad epilogue contracts in it anyway, and f32
+        # outputs cost a convert + relayout pass
         out_shapes += [
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), jnp.float32),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
         ]
     if has_bias:
         out_specs.append(
