@@ -29,10 +29,15 @@ def main():
     ap.add_argument("--stages", default="1,2")
     ap.add_argument("--variants", default="whole_image,two_pass")
     ap.add_argument("--bias", action="store_true", help="include an RPE bias")
+    ap.add_argument("--wide", choices=["auto", "on", "off"], default="auto",
+                    help="force the wide dK/dV GEMM variant")
     args = ap.parse_args()
 
     from vil_tpu.ops import masks as masks_lib
     from vil_tpu.ops.pallas import vil_backward, vil_kernel
+
+    if args.wide != "auto":
+        vil_backward.WIDE_DKDV = args.wide == "on"
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

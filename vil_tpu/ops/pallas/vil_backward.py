@@ -61,10 +61,9 @@ INTERPRET = False
 WHOLE_IMAGE_VMEM_BYTES = 100 * 2**20
 
 # wide (my, 9W², M) dK/dV GEMMs + static sublane slices vs 9 small per-block
-# GEMMs in the whole-image kernel. None = auto (wide when the head dim M is
-# < 64: the 49-row per-block GEMMs waste most of a 128-lane MXU tile at
-# M=32 — measured stage-1 9.03 → 5.79 ms; at M=64 per-block is already
-# efficient and the slices only add overhead, 1.26 → 1.41 ms at stage 2).
+# GEMMs in the whole-image kernel. None = auto (always wide: the 49-row
+# per-block GEMMs waste most of each MXU tile — measured stage-1
+# 9.03 → 5.79 ms and stage-2 2.40 → 1.40 ms at batch 64).
 # True/False force one variant for A/B timing.
 WIDE_DKDV = None
 
@@ -186,7 +185,7 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
             # (dx, dy) feeds dK/dV row (i+dx) with column roll −dy. ONE wide
             # (my, 9W², M) GEMM per tensor (9 separate 49-row GEMMs waste
             # ~60% of each 128-row MXU tile), then static sublane slices.
-            wide = WIDE_DKDV if WIDE_DKDV is not None else M < 64
+            wide = WIDE_DKDV if WIDE_DKDV is not None else True
             if wide:
                 dk_wide = jax.lax.dot_general(
                     ds_c[:, :, :nloc], q_h, (((1,), (1,)), ((0,), (0,))),
