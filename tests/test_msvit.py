@@ -37,6 +37,20 @@ def test_forward_all_attention_types(attn_type):
     assert out_t.shape == (2, 10)
 
 
+def test_longformer_cuda_aliases_pallas_path():
+    """The reference's ATTN_TYPE 'longformer_cuda' (its TVM kernel selector,
+    src/config/defaults.py:144-145) must run, and must be numerically
+    identical to 'longformerhand' — it is the same Pallas-backed path."""
+    x = jnp.ones((2, 32, 32, 3))
+    outs = []
+    for attn_type in ("longformerhand", "longformer_cuda"):
+        model = MsViT(arch=TINY_ARCH, img_size=32, num_classes=10,
+                      attn_type=attn_type, sharew=True)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+        outs.append(model.apply(variables, x))
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
 def test_rpe_variant():
     arch = TINY_ARCH.replace("f2", "f2,a0")  # rpe = not ape
     model = MsViT(arch=arch, img_size=32, num_classes=10, attn_type="longformerhand")

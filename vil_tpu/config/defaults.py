@@ -136,7 +136,9 @@ _k(
     "l1,h3,d192,n1,s1,g1,p16,f7,a1_l2,h6,d384,n10,s0,g1,p2,f7,a1_l3,h12,d796,n1,s0,g1,p2,f7,a1",
 )
 _k(MSVIT, "SHARE_W", True)
-# choices: full, longformerhand, longformerauto, linformer, srformer, performer
+# choices: full, longformerhand, longformerauto, longformer_cuda (alias of
+# the Pallas path — the reference's TVM kernel selector), linformer,
+# srformer, performer
 _k(MSVIT, "ATTN_TYPE", "longformerhand")
 _k(MSVIT, "SHARE_KV", True)
 _k(MSVIT, "ONLY_GLOBAL", False)

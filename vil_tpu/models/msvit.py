@@ -34,6 +34,12 @@ from .layers import DropPath, Mlp, PatchEmbed, trunc_normal_init
 
 Mode = Union[int, jax.Array]
 
+# All names the reference accepts for the sliding-chunk ViL attention
+# (src/config/defaults.py:144-145). 'longformer_cuda' selected its external
+# TVM/CUDA kernel; the Pallas kernels here ARE that path's replacement, so
+# all three alias to the same implementation.
+LONGFORMER_TYPES = ("longformerhand", "longformerauto", "longformer_cuda")
+
 
 class AttnBlock(nn.Module):
     """Pre-LN attention block with DropPath residual (msvit.py:245-316)."""
@@ -80,9 +86,10 @@ class AttnBlock(nn.Module):
                 rpe=self.rpe, wx=self.wx, wy=self.wy, nglo=self.nglo,
                 use_pallas=self.use_pallas, **common
             )
-        elif self.attn_type in ("longformerhand", "longformerauto"):
-            # hand/auto differed only in torch-autograd strategy; in JAX the
-            # backward is autodiff either way, so both names map here.
+        elif self.attn_type in LONGFORMER_TYPES:
+            # hand/auto differed only in torch-autograd strategy and _cuda in
+            # kernel backend; in JAX the backward is autodiff/custom-vjp
+            # either way, so all three names map here.
             self.attn = VilAttention(
                 w=self.w,
                 nglo=self.nglo,
@@ -298,7 +305,7 @@ class MsViT(nn.Module):
             # non-attention op is per-token) — no per-block chunkify/
             # unchunkify round-trips through HBM
             stage_chunked.append(
-                attn_type in ("longformerhand", "longformerauto")
+                attn_type in LONGFORMER_TYPES
                 and not self.only_glo
                 and c.num_blocks > 0
             )

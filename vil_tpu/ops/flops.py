@@ -37,7 +37,7 @@ def _attention_macs(count: MacCount, attn_type: str, stage: StageCfg,
         count.add(2 * n * n * dim)  # QK^T + PV
         _linear(count, n, dim, dim)  # proj
         return
-    if attn_type in ("longformerhand", "longformerauto"):
+    if attn_type in ("longformerhand", "longformerauto", "longformer_cuda"):
         kv_span = 9 * w * w
         _linear(count, nloc, dim, dim)  # query (local)
         _linear(count, n, dim, 2 * dim)  # kv (all tokens)
