@@ -51,6 +51,43 @@ def test_random_shift_active_schedule():
     assert not t2._random_shift_active(0)
 
 
+def test_eval_saves_per_image_results(tmp_path):
+    """EVALUATE=True must emit per-image predictions recoverable by dataset
+    index (reference results.pth keyed by img id, engine.py:264-268,
+    :323-325): top-k class ids + logit scores + correctness + targets."""
+    cfg = get_default_cfg()
+    cfg.DATA.TRAIN = ("synthetic",)
+    cfg.DATA.TEST = ("synthetic",)
+    cfg.EVALUATE = True
+    cfg.INPUT.IMAGE_SIZE = 32
+    cfg.DATA.NUM_CLASSES = 10
+    cfg.DATALOADER.BSZ = 8
+    cfg.DATALOADER.WORKERS = 0
+    cfg.MODEL.VIT.MSVIT.ARCH = (
+        "l1,h1,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s1,g1,p2,f2_l3,h2,d32,n1,s0,g0,p2,f2"
+    )
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.OUTPUT_DIR = str(tmp_path)
+    t = Trainer(cfg)
+    t.fit()
+    data = np.load(tmp_path / "results_0.npz")
+    n = len(t.testloaders[0].dataset)
+    assert data["pred_ids"].shape == (n, 5)
+    assert data["pred_scores"].shape == (n, 5)
+    assert data["scores"].shape == (n, 2)
+    assert data["targets"].shape == (n,)
+    assert sorted(data["indices"].tolist()) == list(range(n))
+    # top-1 correctness flag must agree with the stored prediction ids
+    by_idx = {int(i): k for k, i in enumerate(data["indices"])}
+    for ds_idx in range(0, n, 7):
+        k = by_idx[ds_idx]
+        assert (data["pred_ids"][k, 0] == data["targets"][k]) == bool(
+            data["scores"][k, 0]
+        )
+        # scores are the logits in descending order
+        assert np.all(np.diff(data["pred_scores"][k]) <= 1e-6)
+
+
 def test_redraw_schedule():
     rs = RedrawSchedule()
     rs.set_epoch(0)  # interval 1

@@ -105,13 +105,17 @@ class DataLoader:
     """Batching iterator with background prefetch threads."""
 
     def __init__(self, dataset, sampler, batch_size: int, drop_last: bool = True,
-                 num_workers: int = 4, prefetch: int = 4):
+                 num_workers: int = 4, prefetch: int = 4,
+                 return_indices: bool = False):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.drop_last = drop_last
         self.num_workers = max(0, num_workers)
         self.prefetch = prefetch
+        # yield (images, targets, dataset_indices) — used by eval to key
+        # per-image results by dataset index / img id (reference results.pth)
+        self.return_indices = return_indices
 
     def __len__(self):
         n = len(self.sampler)
@@ -125,23 +129,25 @@ class DataLoader:
                 return
             yield batch
 
-    def _collate(self, samples):
+    def _collate(self, samples, batch_idxs=None):
         imgs = np.stack([np.asarray(s[0], dtype=np.float32) for s in samples])
         targets = np.asarray([s[1] for s in samples], dtype=np.int32)
         if imgs.ndim == 3:  # grayscale H,W -> H,W,1
             imgs = imgs[..., None]
+        if self.return_indices:
+            return imgs, targets, np.asarray(batch_idxs, dtype=np.int64)
         return imgs, targets
 
     def __iter__(self) -> Iterator:
         if self.num_workers == 0:
             for batch in self._batches():
-                yield self._collate([self.dataset[i] for i in batch])
+                yield self._collate([self.dataset[i] for i in batch], batch)
             return
 
         from concurrent.futures import ThreadPoolExecutor
 
         def load(batch):
-            return self._collate([self.dataset[i] for i in batch])
+            return self._collate([self.dataset[i] for i in batch], batch)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

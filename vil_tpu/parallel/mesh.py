@@ -139,9 +139,11 @@ def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
 
     def wrapped(variables, images, targets, valid):
         m = eval_step(variables, images, targets, valid)
-        if "scores" in m:
+        per_sample = [k for k in ("scores", "pred_ids", "pred_scores") if k in m]
+        if per_sample:
             m = dict(m)
-            m["scores"] = jax.lax.with_sharding_constraint(m["scores"], data_s)
+            for k in per_sample:
+                m[k] = jax.lax.with_sharding_constraint(m[k], data_s)
         return m
 
     return jax.jit(

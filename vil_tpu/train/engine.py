@@ -156,11 +156,16 @@ def make_eval_step(
     overlap_boost: Optional[np.ndarray] = None,
     return_scores: bool = False,
     per_sample_criterion: Optional[Callable] = None,
+    pred_topk: int = 0,
 ) -> Callable:
     """Eval step over a PADDED batch: ``valid`` is a float mask (B,) marking
     real samples (ragged last batches are padded to a device-divisible size
     by the caller). Loss uses the per-sample criterion under masking when
-    available; otherwise the batch criterion (exact on full batches)."""
+    available; otherwise the batch criterion (exact on full batches).
+
+    ``pred_topk > 0`` additionally returns per-image top-k predicted class
+    ids and their logit scores — the per-image results the reference keys by
+    image id in results.pth (engine.py:264-268, :323-325)."""
 
     def eval_step(variables, images, targets, valid):
         logits = model.apply(variables, images, deterministic=True).astype(
@@ -182,6 +187,11 @@ def make_eval_step(
         }
         if return_scores:
             metrics["scores"] = correct
+        if pred_topk > 0:
+            k = min(pred_topk, logits.shape[-1])
+            pred_scores, pred_ids = jax.lax.top_k(logits, k)
+            metrics["pred_ids"] = pred_ids.astype(jnp.int32)
+            metrics["pred_scores"] = pred_scores
         return metrics
 
     return eval_step

@@ -184,6 +184,9 @@ class Trainer:
                 return_scores=bool(self.cfg.EVALUATE)
                 or bool(self.cfg.OUTPUT_PERCLASS_ACC),
                 per_sample_criterion=get_per_sample_criterion(self.cfg),
+                # per-image predictions for results_*.npz (reference
+                # results.pth, engine.py:264-268)
+                pred_topk=5 if self.cfg.EVALUATE else 0,
             )
             self._eval_step = parallel.jit_eval_step(estep, self.mesh)
         return self._eval_step
@@ -244,8 +247,21 @@ class Trainer:
         nbatch = 0
         collect = bool(self.cfg.EVALUATE) or bool(self.cfg.OUTPUT_PERCLASS_ACC)
         all_scores, all_targets = [], []
+        all_idxs, all_pred_ids, all_pred_scores = [], [], []
         n_dev = int(self.mesh.devices.size)
-        for images, targets_np in loader:
+        # per-image results need each sample's dataset index; our DataLoader
+        # can yield them directly, otherwise fall back to a running offset
+        # (sequential eval order)
+        if collect and hasattr(loader, "return_indices"):
+            loader.return_indices = True
+        offset = 0
+        for batch in loader:
+            if len(batch) == 3:
+                images, targets_np, idxs_np = batch
+            else:
+                images, targets_np = batch
+                idxs_np = np.arange(offset, offset + len(targets_np))
+            offset += len(targets_np)
             nreal = len(targets_np)
             (images, targets_pad), valid = parallel.mesh.pad_batch(
                 [images, targets_np], n_dev
@@ -260,6 +276,10 @@ class Trainer:
             if collect and "scores" in m:
                 all_scores.append(_host_rows(m["scores"])[:nreal])
                 all_targets.append(np.asarray(targets_np))
+                all_idxs.append(np.asarray(idxs_np))
+                if "pred_ids" in m:
+                    all_pred_ids.append(_host_rows(m["pred_ids"])[:nreal])
+                    all_pred_scores.append(_host_rows(m["pred_scores"])[:nreal])
         top1 = 100.0 * totals["top1_sum"] / max(totals["count"], 1)
         top5 = 100.0 * totals["top5_sum"] / max(totals["count"], 1)
         loss = totals["loss"] / max(nbatch, 1)
@@ -282,11 +302,24 @@ class Trainer:
                             100 * sel[:, 0].mean(), 100 * sel[:, 1].mean(), len(sel),
                         )
             if save_results:
-                # per-image results (reference saves results.pth,
-                # engine.py:323-325)
+                # per-image results keyed by dataset index / img key
+                # (reference saves results.pth keyed by get_img_key,
+                # engine.py:264-268, :323-325)
+                extra = {}
+                if all_idxs:
+                    indices = np.concatenate(all_idxs)
+                    extra["indices"] = indices
+                    get_key = getattr(loader.dataset, "get_img_key", None)
+                    if get_key is not None:
+                        extra["img_keys"] = np.asarray(
+                            [str(get_key(int(i))) for i in indices]
+                        )
+                if all_pred_ids:
+                    extra["pred_ids"] = np.concatenate(all_pred_ids)
+                    extra["pred_scores"] = np.concatenate(all_pred_scores)
                 np.savez(
                     save_results, scores=scores, targets=targets_cat,
-                    top1=top1, top5=top5,
+                    top1=top1, top5=top5, **extra,
                 )
                 logger.info("Saved per-image eval results to %s", save_results)
         if meters is not None:
