@@ -73,8 +73,7 @@ def timed_fetch(fn, variables, x) -> float:
     return time.time() - t0
 
 
-def main():
-    batch = 128
+def measure(batch: int, repeats: int = 3) -> float:
     iters_a, iters_b = 4, 20
     model, variables, x = build_model_and_vars(batch)
 
@@ -85,13 +84,26 @@ def main():
     timed_fetch(run_b, variables, x)
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         ta = timed_fetch(run_a, variables, x)
         tb = timed_fetch(run_b, variables, x)
         per_iter = (tb - ta) / (iters_b - iters_a)
         if 0 < per_iter < best:
             best = per_iter
-    images_per_sec = batch / best
+    return batch / best
+
+
+def main():
+    import sys
+
+    if "--sweep" in sys.argv:
+        for batch in (64, 128, 256):
+            v = measure(batch)
+            print(f"batch {batch}: {v:.1f} img/s", flush=True)
+        return
+
+    batch = 128
+    images_per_sec = measure(batch)
     print(
         json.dumps(
             {
@@ -101,6 +113,12 @@ def main():
                 "vs_baseline": round(
                     images_per_sec / (A100_BASELINE_IMG_S * TARGET_MULTIPLE), 3
                 ),
+                "baseline_def": (
+                    f"assumed A100-PyTorch fp16 {A100_BASELINE_IMG_S:.0f} img/s"
+                    f" x {TARGET_MULTIPLE:.0f} (reference publishes no"
+                    " throughput)"
+                ),
+                "batch": batch,
             }
         )
     )

@@ -40,6 +40,27 @@ def test_overfits_small_batch():
     assert acc > 0.9, acc
 
 
+def test_per_layer_mode_sampling_covers_all_modes():
+    """Per-layer sampling (reference longformer2d.py:116-121 semantics):
+    every layer must see all 8 shift modes across steps, and layers must
+    draw independently within a step."""
+    depth = 6
+    seen = [set() for _ in range(depth)]
+    intra_draw_diff = False
+    for s in range(100):
+        m = np.asarray(engine.sample_vil_modes(jax.random.PRNGKey(s), depth))
+        assert m.shape == (depth,)
+        assert m.min() >= 1 and m.max() <= 8
+        intra_draw_diff |= len(set(m.tolist())) > 1
+        for layer, v in enumerate(m):
+            seen[layer].add(int(v))
+    assert intra_draw_diff, "layers never differed within a step"
+    for layer in range(depth):
+        assert seen[layer] == set(range(1, 9)), (layer, seen[layer])
+    # shared-mode option still available
+    assert engine.sample_vil_modes(jax.random.PRNGKey(0), 0).shape == ()
+
+
 def test_random_shift_training_learns():
     """MODE>0 training (traced random-shift) must also reduce the loss."""
     model = MsViT(arch=ARCH, img_size=16, num_classes=4,

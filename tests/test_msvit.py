@@ -79,6 +79,28 @@ def test_vil_mode_variants():
     np.testing.assert_allclose(np.asarray(out3t), np.asarray(out3), atol=2e-5)
 
 
+def test_per_layer_mode_vector():
+    """A traced mode VECTOR gives each attention layer its own shift mode
+    (reference per-forward sampling, longformer2d.py:116-121): a constant
+    vector must equal the scalar mode, and mixed per-layer modes must differ
+    from every shared-mode result."""
+    model = MsViT(arch=TINY_ARCH, img_size=32, num_classes=10,
+                  attn_type="longformerhand")
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    fwd = jax.jit(lambda v, x, m: model.apply(v, x, mode=m))
+    out3 = model.apply(variables, x, mode=3)
+    out3v = fwd(variables, x, jnp.full((model.depth,), 3, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out3v), np.asarray(out3), atol=2e-5)
+    modes = np.asarray([1 + i % 8 for i in range(model.depth)], np.int32)
+    out_mixed = np.asarray(fwd(variables, x, jnp.asarray(modes)))
+    assert np.all(np.isfinite(out_mixed))
+    for m in sorted(set(modes.tolist())):
+        shared = np.asarray(fwd(variables, x, jnp.full((model.depth,), m,
+                                                       jnp.int32)))
+        assert not np.allclose(out_mixed, shared, atol=1e-6)
+
+
 def test_only_global():
     model = MsViT(arch=TINY_ARCH.replace("g0", "g2"), img_size=32, num_classes=10,
                   attn_type="longformerhand", only_glo=True, avg_pool=True)

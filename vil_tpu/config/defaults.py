@@ -186,6 +186,10 @@ _k(TPU, "PARAM_SHARDING", "replicated")
 _k(TPU, "REMAT", "")
 # seed for jax PRNG streams
 _k(TPU, "SEED", 42)
+# MODE>0 training: sample an independent random-shift mode per attention
+# layer each step (reference samples per forward, longformer2d.py:116-121);
+# False = one mode shared by all layers per step
+_k(TPU, "MODE_PER_LAYER", True)
 
 
 def get_default_cfg() -> CN:

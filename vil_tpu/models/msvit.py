@@ -378,6 +378,12 @@ class MsViT(nn.Module):
     def forward_features(
         self, x: jax.Array, deterministic: bool, mode: Mode
     ) -> jax.Array:
+        """``mode`` may be an int / traced scalar (one shift mode shared by
+        all layers) or a traced vector of length ``depth`` — then every
+        attention block draws its own mode, matching the reference's
+        per-forward host sampling (longformer2d.py:116-121)."""
+        per_layer = isinstance(mode, jax.Array) and mode.ndim == 1
+        i_attn = 0
         B = x.shape[0]
         grids = self.grid_sizes()
         nglos = self.nglos
@@ -396,7 +402,9 @@ class MsViT(nn.Module):
                     sc.chunkify(x[:, g:], nx, ny, w_s),
                 )
             for attn_block, mlp_block in blocks:
-                x = attn_block(x, nx, ny, deterministic, mode)
+                block_mode = mode[i_attn] if per_layer else mode
+                i_attn += 1
+                x = attn_block(x, nx, ny, deterministic, block_mode)
                 x = mlp_block(x, deterministic)
             if chunked:
                 x_glo, x_img = x

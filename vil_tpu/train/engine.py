@@ -4,8 +4,10 @@ TPU-first redesign of the reference's eager loops:
 * the train step is a single jitted function: forward (bf16), loss, grads,
   optimizer update, and top-1/5 accuracy — XLA inserts the cross-device
   gradient reduction from shardings (no DDP/NCCL wrapper, SURVEY §2.12/2.13);
-* the random-shift VIL mode is sampled ON DEVICE per step from the threaded
-  RNG (reference samples per forward on host, longformer2d.py:116-121);
+* the random-shift VIL mode is sampled ON DEVICE from the threaded RNG —
+  by default one INDEPENDENT mode per attention layer per step, matching the
+  reference's per-forward host sampling (longformer2d.py:116-121);
+  ``per_layer_modes=False`` shares one mode across layers;
 * metrics come back as a small dict of scalars, aggregated on host.
 """
 from __future__ import annotations
@@ -77,19 +79,34 @@ def topk_correct(
     )  # (B, len(topk))
 
 
+def sample_vil_modes(rng: jax.Array, depth: int = 0):
+    """Random-shift neighbor-block mode(s) in [1, 9).
+
+    depth > 0: one independent mode PER attention layer (the reference
+    samples a fresh mode in every attention forward,
+    longformer2d.py:116-121). depth == 0: a single shared traced scalar.
+    """
+    shape = (depth,) if depth > 0 else ()
+    return jax.random.randint(rng, shape, 1, 9)
+
+
 def make_train_step(
     model,
     criterion: Callable,
     tx,
     random_shift: bool = False,
     mixup_fn: Optional[Callable] = None,
+    per_layer_modes: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
-    random_shift=True samples a neighbor-block mode in [1, 9) on device each
+    random_shift=True samples neighbor-block mode(s) in [1, 9) on device each
     step (the reference's MODE>0 training strategy); the model compiles ONE
-    program covering all 8 modes (traced index).
+    program covering all 8 modes (traced index). By default each attention
+    layer draws its own mode (reference per-forward sampling semantics);
+    per_layer_modes=False shares one mode across all layers.
     """
+    mode_depth = getattr(model, "depth", 0) if per_layer_modes else 0
 
     def train_step(state: TrainState, images, targets, rng):
         rng_drop, rng_mode, rng_mix = jax.random.split(
@@ -97,9 +114,7 @@ def make_train_step(
         )
         if mixup_fn is not None:
             images, targets = mixup_fn(rng_mix, images, targets)
-        mode = (
-            jax.random.randint(rng_mode, (), 1, 9) if random_shift else 0
-        )
+        mode = sample_vil_modes(rng_mode, mode_depth) if random_shift else 0
 
         # BatchNorm models (the torchvision-zoo ResNets) update running
         # statistics in-step; under jit with a sharded batch the batch mean

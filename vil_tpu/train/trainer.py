@@ -158,6 +158,7 @@ class Trainer:
             step = engine.make_train_step(
                 self.model, self.criterion, self.tx,
                 random_shift=random_shift, mixup_fn=self.mixup_fn,
+                per_layer_modes=bool(self.cfg.TPU.MODE_PER_LAYER),
             )
             self._train_steps[random_shift] = parallel.jit_train_step(
                 step, self.mesh, donate_state=False,
