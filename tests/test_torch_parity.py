@@ -24,13 +24,14 @@ ARCH = "l1,h1,d32,n1,s1,g1,p4,f4_l2,h2,d64,n1,s1,g1,p2,f4_l3,h2,d64,n1,s0,g0,p2,
 IMG = 64
 
 
-def _run_pair(attn_type, arch=ARCH, img=IMG, sharew=True, rpe_arch=False, **kw):
+def _run_pair(attn_type, arch=ARCH, img=IMG, sharew=True, rpe_arch=False,
+              batch=2, num_classes=10, **kw):
     torch.manual_seed(0)
     RefMsViT = get_reference_msvit()
     if rpe_arch:
         arch = arch.replace("f4", "f4,a0")
     ref = RefMsViT(
-        arch=arch, img_size=img, num_classes=10, attn_type=attn_type,
+        arch=arch, img_size=img, num_classes=num_classes, attn_type=attn_type,
         drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0,
         norm_embed=True, sharew=sharew, **kw,
     )
@@ -38,10 +39,11 @@ def _run_pair(attn_type, arch=ARCH, img=IMG, sharew=True, rpe_arch=False, **kw):
     state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
 
     model = MsViT(
-        arch=arch, img_size=img, num_classes=10, attn_type=attn_type,
+        arch=arch, img_size=img, num_classes=num_classes, attn_type=attn_type,
         norm_embed=True, sharew=sharew, dtype=jnp.float32, **kw,
     )
-    x_np = np.random.default_rng(1).standard_normal((2, img, img, 3)).astype(np.float32)
+    x_np = np.random.default_rng(1).standard_normal(
+        (batch, img, img, 3)).astype(np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_np))
     params = import_torch_checkpoint(state, variables["params"], strict=True)
     new_vars = dict(variables)
@@ -103,6 +105,21 @@ def test_logits_match_reference_mode_static():
         ref_out = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2))).numpy()
     ours = np.asarray(
         model.apply({"params": params}, jnp.asarray(x_np), mode=-1)
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_logits_match_reference_flagship_vil_small_224():
+    """Flagship-shape golden parity: the REAL vil_small arch at 224² in f32
+    (reference README.md:217: 4 stages, d96..d768, W=7 → 56×56 grids with
+    pad-49 paths, nglo=1, sticky-full stages 3-4). Catches layout/ordering
+    bugs that only bite at the production shape; toy-shape tests can't."""
+    from vil_tpu.models import ARCH_ZOO
+
+    ref_out, ours = _run_pair(
+        "longformerhand", arch=ARCH_ZOO["vil_small"], img=224, batch=1,
+        num_classes=1000,
     )
     np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
 
