@@ -102,6 +102,21 @@ def main():
             print(f"batch {batch}: {v:.1f} img/s", flush=True)
         return
 
+    # compiled-kernel numerics evidence: fused Pallas fwd+VJP vs the XLA
+    # reference, on the real backend (tools/tpu_kernel_smoke.py)
+    kernels_ok = None
+    try:
+        import os
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from tpu_kernel_smoke import run_smoke
+
+        kernels_ok = bool(run_smoke()["ok"])
+    except Exception as e:  # never block the throughput line
+        print(f"kernel smoke failed to run: {e!r}", file=__import__("sys").stderr)
+        kernels_ok = False
+
     batch = 128
     images_per_sec = measure(batch)
     print(
@@ -119,6 +134,7 @@ def main():
                     " throughput)"
                 ),
                 "batch": batch,
+                "kernels_ok": kernels_ok,
             }
         )
     )

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Compiled-on-TPU kernel numerics smoke test.
+
+Round-trip evidence that the Pallas kernels lower correctly through Mosaic on
+the REAL device (interpret-mode CPU tests can't catch lowering regressions):
+runs the fused multi-head sliding-chunk attention forward AND its custom VJP
+compiled on the default backend and compares against the pure-XLA reference
+(`_xla_reference_mh`, the same oracle the CPU suite uses).
+
+Run standalone (`python tools/tpu_kernel_smoke.py`) or via `bench.py`, which
+executes it each round and reports `kernels_ok` in its JSON line.
+
+Shapes mirror ViL-Small stage 2 (H=3, M=64, W=7, nglo=1) at a reduced grid.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _max_err(a, b) -> float:
+    return float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+
+
+def run_smoke(verbose: bool = True) -> dict:
+    from vil_tpu.ops import masks as masks_lib
+    from vil_tpu.ops.pallas import vil_backward, vil_kernel
+
+    if jax.default_backend() != "tpu":
+        # off-TPU the script still validates its own logic via interpret mode
+        vil_kernel.INTERPRET = vil_backward.INTERPRET = True
+
+    B, mx, my, w, H, M, nglo = 2, 4, 4, 7, 3, 64, 1
+    w2 = w * w
+    C = H * M
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 1, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    scale = 0.25
+    q = jax.random.normal(ks[0], (B, mx, my, w2, C), jnp.float32) * scale
+    k = jax.random.normal(ks[1], (B, mx, my, w2, C), jnp.float32) * scale
+    v = jax.random.normal(ks[2], (B, mx, my, w2, C), jnp.float32) * scale
+    kg = jax.random.normal(ks[3], (B, nglo, C), jnp.float32) * scale
+    vg = jax.random.normal(ks[4], (B, nglo, C), jnp.float32) * scale
+    bias = jax.random.normal(ks[5], (H, w2, nglo + 9 * w2), jnp.float32) * 0.5
+
+    results = {"backend": jax.default_backend()}
+    ok = True
+    for name, dtype, tol_fwd, tol_grad in (
+        ("f32", jnp.float32, 5e-4, 5e-3),
+        ("bf16", jnp.bfloat16, 5e-2, 5e-1),
+    ):
+        args = tuple(a.astype(dtype) for a in (q, k, v, kg, vg))
+        b_arg = bias  # RPE bias stays f32 in the model path
+        fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
+
+        @jax.jit
+        def fwd_pair(q, k, v, kg, vg, bias):
+            return (
+                fused(q, k, v, kg, vg, bias),
+                vil_kernel._xla_reference_mh(
+                    *(a.astype(jnp.float32) for a in (q, k, v, kg, vg)),
+                    bias, mask_add, H,
+                ),
+            )
+
+        out_p, out_x = fwd_pair(*args, b_arg)
+        e_fwd = _max_err(out_p, out_x)
+
+        @jax.jit
+        def grads_pair(q, k, v, kg, vg, bias):
+            gp = jax.grad(
+                lambda *a: jnp.sum(fused(*a).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2, 3, 4, 5),
+            )(q, k, v, kg, vg, bias)
+            gx = jax.grad(
+                lambda *a: jnp.sum(
+                    vil_kernel._xla_reference_mh(*a, mask_add, H) ** 2
+                ),
+                argnums=(0, 1, 2, 3, 4, 5),
+            )(*(a.astype(jnp.float32) for a in (q, k, v, kg, vg)), bias)
+            return gp, gx
+
+        gp, gx = grads_pair(*args, b_arg)
+        e_grad = max(_max_err(a, b) for a, b in zip(gp, gx))
+        passed = e_fwd <= tol_fwd and e_grad <= tol_grad
+        ok &= passed
+        results[name] = {
+            "fwd_max_err": round(e_fwd, 6),
+            "grad_max_err": round(e_grad, 6),
+            "pass": passed,
+        }
+        if verbose:
+            print(
+                f"kernel smoke [{name}] fwd err {e_fwd:.2e} "
+                f"grad err {e_grad:.2e} -> {'PASS' if passed else 'FAIL'}",
+                file=sys.stderr,
+            )
+    results["ok"] = ok
+    return results
+
+
+if __name__ == "__main__":
+    from vil_tpu.utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()
+    res = run_smoke()
+    print(json.dumps(res))
+    sys.exit(0 if res["ok"] else 1)
