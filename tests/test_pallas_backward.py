@@ -14,7 +14,7 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(vil_kernel, "INTERPRET", True)
 
 
-@pytest.mark.parametrize("variant", ["whole_image", "two_pass"])
+@pytest.mark.parametrize("variant", ["whole_image", "two_pass", "tiled"])
 @pytest.mark.parametrize(
     "nglo,with_bias,H,mx,my", [(1, True, 2, 3, 3), (0, False, 1, 3, 4), (2, True, 2, 4, 3)]
 )
@@ -25,6 +25,11 @@ def test_backward_matches_xla_vjp(monkeypatch, variant, nglo, with_bias, H, mx, 
         "WHOLE_IMAGE_VMEM_BYTES",
         2**62 if variant == "whole_image" else 0,
     )
+    if variant == "tiled":
+        # super-row tiles: multi-row tiles when mx is even, T=1 otherwise
+        monkeypatch.setattr(
+            vil_backward, "FORCE_TILE_T", 2 if mx % 2 == 0 else 1
+        )
     B, w, M = 2, 3, 8
     C = H * M
     w2 = w * w

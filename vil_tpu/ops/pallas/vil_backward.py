@@ -67,6 +67,10 @@ WHOLE_IMAGE_VMEM_BYTES = 100 * 2**20
 # True/False force one variant for A/B timing.
 WIDE_DKDV = None
 
+# testing/benchmark knob: force the super-row tiled backward with this many
+# rows per tile (must divide mx). None = automatic selection by VMEM fit.
+FORCE_TILE_T = None
+
 
 def _roll0(r, s):
     """Static cyclic roll along axis 0: out[c] = r[(c+s) % n]."""
@@ -503,6 +507,295 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
     return dq, dk, dv, dkg, dvg, dbias
 
 
+def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
+    """Super-row tiled fused backward (grid (B, n_tiles)) for images whose
+    whole-image VMEM estimate exceeds the budget (e.g. 14×14-chunk 384²
+    stage-1 grids). Identical math to _bwd_kernel_img, but each grid step
+    owns T consecutive query rows; the K/V neighborhood comes from three
+    T-row tile blocks (prev/center/next), and dK/dV contributions land in a
+    per-tile (T+2)-row halo slab — slot s holds the contribution to global
+    row t·T + s − 1 — summed into the final dK/dV by 3 static scatter-adds
+    XLA-side. P and dS still never touch HBM (vs the two-pass variant's
+    multi-GB stash; reference backward slidingchunk_2d.py:133-200).
+
+    refs: [q, k×3, v×3, g, (kg_row, vg_row)?, (bias_tail)?, mask_tile,
+    dq, dk_slab, dv_slab, (pg_out, dsg_out)?, (dbias_tail)?]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_refs = refs[i : i + 3]; i += 3
+    v_refs = refs[i : i + 3]; i += 3
+    g_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
+    bias_tail = None
+    if has_bias:
+        bias_tail = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    dq_ref = refs[i]; i += 1
+    dk_ref = refs[i]; i += 1  # (1, 1, T+2, my, W², C) halo slab
+    dv_ref = refs[i]; i += 1
+    pg_ref = dsg_ref = None
+    if nglo > 0:
+        pg_ref = refs[i]; i += 1
+        dsg_ref = refs[i]; i += 1
+    dbias_ref = None
+    if has_bias:
+        dbias_ref = refs[i]; i += 1
+
+    b_idx, t_idx = pl.program_id(0), pl.program_id(1)
+    C = q_ref.shape[-1]
+    M = C // H
+    nloc = 9 * w2
+
+    from .vil_kernel import _nbh_rows
+
+    def kv_row(refs3, j):
+        """Row j ∈ [−1, T] of the center tile (halo rows from prev/next)."""
+        if j < 0:
+            return refs3[0][0, T + j]
+        if j >= T:
+            return refs3[2][0, j - T]
+        return refs3[1][0, j]
+
+    dk_acc = [[None] * H for _ in range(T + 2)]
+    dv_acc = [[None] * H for _ in range(T + 2)]
+    db_acc = [None] * H
+
+    for i_row in range(T):
+        k_rows = [kv_row(k_refs, i_row + dx) for dx in (-1, 0, 1)]
+        v_rows = [kv_row(v_refs, i_row + dx) for dx in (-1, 0, 1)]
+        k_nbh = _nbh_rows(k_rows, my, kg_row)  # (my, 9W²+Nglo, C)
+        v_nbh = _nbh_rows(v_rows, my, vg_row)
+        q_row = q_ref[0, i_row]  # (my, W², C)
+        g_row = g_ref[0, i_row]
+        mask = mask_ref[i_row]  # (my, W², 9W²+Nglo) f32, tail order
+        for h in range(H):
+            hs = h * M
+            q_h = q_row[..., hs : hs + M]
+            k_h = k_nbh[..., hs : hs + M].astype(q_h.dtype)
+            v_h = v_nbh[..., hs : hs + M].astype(q_h.dtype)
+            g_h = g_row[..., hs : hs + M]
+            scores = jax.lax.dot_general(
+                q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (my, W², cols)
+            if has_bias:
+                scores = scores + bias_tail[h][None]
+            scores = scores + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            dp = jax.lax.dot_general(
+                g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            ds_c = ds.astype(q_h.dtype)
+            dq_h = jax.lax.dot_general(
+                ds_c, k_h, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+            if nglo > 0:
+                pg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
+                    p[..., nloc:].astype(pg_ref.dtype)
+                )
+                dsg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
+                    ds[..., nloc:].astype(dsg_ref.dtype)
+                )
+            if has_bias:
+                db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
+                db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
+            p_c = p.astype(q_h.dtype)
+            # wide (my, 9W², M) transposed-contribution GEMMs + static
+            # sublane slices (same rationale as the whole-image kernel)
+            dk_wide = jax.lax.dot_general(
+                ds_c[:, :, :nloc], q_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv_wide = jax.lax.dot_general(
+                p_c[:, :, :nloc], g_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+                c0 = bi * w2
+                dk_c = dk_wide[:, c0 : c0 + w2, :]
+                dv_c = dv_wide[:, c0 : c0 + w2, :]
+                if my > 1:
+                    dk_c = _roll0(dk_c, -dy)
+                    dv_c = _roll0(dv_c, -dy)
+                s = i_row + dx + 1  # halo-slab slot for global row t·T+i+dx
+                dk_acc[s][h] = dk_c if dk_acc[s][h] is None else dk_acc[s][h] + dk_c
+                dv_acc[s][h] = dv_c if dv_acc[s][h] is None else dv_acc[s][h] + dv_c
+
+    for s in range(T + 2):
+        dk_ref[0, 0, s] = jnp.concatenate(
+            [a.astype(dk_ref.dtype) for a in dk_acc[s]], axis=-1
+        )
+        dv_ref[0, 0, s] = jnp.concatenate(
+            [a.astype(dv_ref.dtype) for a in dv_acc[s]], axis=-1
+        )
+    if has_bias:
+        first = jnp.logical_and(b_idx == 0, t_idx == 0)
+        for h in range(H):
+            @pl.when(first)
+            def _(h=h):
+                dbias_ref[h] = db_acc[h]
+
+            @pl.when(jnp.logical_not(first))
+            def _(h=h):
+                dbias_ref[h] += db_acc[h]
+
+
+def _tiled_vmem_bytes(T, mx, my, w2, C, H, nglo, has_bias, itemsize, bias_size):
+    """VMEM estimate for one (B, tile) grid step of _bwd_kernel_tiled (same
+    accounting discipline as the whole-image estimate: Mosaic does not reuse
+    temporary slots across the statically-unrolled T·H iterations)."""
+    cols_tail = nglo + 9 * w2
+    row_bytes = my * w2 * C * itemsize
+    return (
+        T * H * 5 * my * w2 * cols_tail * 4  # live f32 score-sized temps
+        + 2 * (9 * T + 2 * (T + 2)) * row_bytes  # q,g,dq + k,v ×3 + slabs, ×2 buf
+        + 2 * T * my * w2 * cols_tail * 4  # mask tile
+        + (2 * bias_size * 4 if has_bias else 0)
+        + 2 * 2 * T * my * w2 * H * nglo * itemsize  # pg/dsg outputs
+    )
+
+
+def _pick_tile_rows(mx, my, w2, C, H, nglo, has_bias, itemsize, bias_size):
+    """Largest divisor T < mx whose tiled estimate fits the budget (0 = none)."""
+    for T in sorted((t for t in range(1, mx) if mx % t == 0), reverse=True):
+        if _tiled_vmem_bytes(T, mx, my, w2, C, H, nglo, has_bias, itemsize,
+                             bias_size) <= WHOLE_IMAGE_VMEM_BYTES:
+            return T
+    return 0
+
+
+def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret):
+    """Super-row tiled fused backward (see _bwd_kernel_tiled)."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = nglo + 9 * w2
+    n_tiles = mx // T
+    assert n_tiles * T == mx
+    from .vil_kernel import expand_tail_mask
+
+    mask_tail = expand_tail_mask(mask_add, nglo, w2)
+    bias_tail = None
+    if has_bias:
+        bias_tail = jnp.concatenate(
+            [bias[..., nglo:], bias[..., :nglo]], axis=-1
+        ).astype(jnp.float32)
+
+    tile_block = (1, T, my, w2, C)
+
+    def tile_spec(dt):
+        return pl.BlockSpec(
+            tile_block,
+            lambda b, t, dt=dt: (b, (t + dt) % n_tiles, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    q_spec = tile_spec(0)
+    in_specs = [q_spec]
+    in_specs += [tile_spec(dt) for dt in (-1, 0, 1)]
+    in_specs += [tile_spec(dt) for dt in (-1, 0, 1)]
+    in_specs += [q_spec]
+    operands = [q, k, k, k, v, v, v, g]
+    if nglo > 0:
+        kg_spec = pl.BlockSpec(
+            (1, my, nglo, C), lambda b, t: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [kg_spec, kg_spec]
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
+        ]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(bias_tail)
+    in_specs.append(
+        pl.BlockSpec((T, my, w2, cols), lambda b, t: (t, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(jnp.asarray(mask_tail))
+
+    slab_spec = pl.BlockSpec(
+        (1, 1, T + 2, my, w2, C), lambda b, t: (b, t, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [q_spec, slab_spec, slab_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((B, n_tiles, T + 2, my, w2, C), k.dtype),
+        jax.ShapeDtypeStruct((B, n_tiles, T + 2, my, w2, C), v.dtype),
+    ]
+    if nglo > 0:
+        hn = H * nglo
+        pg_spec = pl.BlockSpec(
+            (1, T, my, w2, hn), lambda b, t: (b, t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs += [pg_spec, pg_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+        ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
+
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel_tiled, nglo, w2, T, my, H, has_bias),
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    it = iter(results)
+    dq, dk_slab, dv_slab = next(it), next(it), next(it)
+
+    # halo-slab combine: slot s of tile t holds row t·T + s − 1 (mod mx)
+    rows_up = (np.arange(n_tiles) * T - 1) % mx
+    rows_dn = (np.arange(n_tiles) * T + T) % mx
+
+    def combine(slab, out_dtype):
+        center = slab[:, :, 1 : T + 1].reshape(B, mx, my, w2, C)
+        acc = center.astype(jnp.float32)
+        acc = acc.at[:, rows_up].add(slab[:, :, 0].astype(jnp.float32))
+        acc = acc.at[:, rows_dn].add(slab[:, :, T + 1].astype(jnp.float32))
+        return acc.astype(out_dtype)
+
+    dk = combine(dk_slab, k.dtype)
+    dv = combine(dv_slab, v.dtype)
+    dkg = dvg = dbias = None
+    if nglo > 0:
+        pg_out, dsg_out = next(it), next(it)
+        dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
+    if has_bias:
+        db_tail = next(it)
+        nloc = 9 * w2
+        dbias = jnp.concatenate(
+            [db_tail[..., nloc:], db_tail[..., :nloc]], axis=-1
+        )
+    return dq, dk, dv, dkg, dvg, dbias
+
+
 def vil_attention_backward(
     q: jax.Array,
     k: jax.Array,
@@ -541,9 +834,25 @@ def vil_attention_backward(
         + (2 * bias.size * 4 if has_bias else 0)
         + 2 * mx * my * w2 * C * 4
     )
+    if FORCE_TILE_T is not None:
+        return _backward_tiled(
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, FORCE_TILE_T,
+            interpret,
+        )
     if img_bytes <= WHOLE_IMAGE_VMEM_BYTES:
         return _backward_whole_image(
             q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
+        )
+    # too big for whole-image: super-row tiles keep the fused (no-stash)
+    # structure at 384²-class grids; the two-pass stash variant remains the
+    # last-resort fallback
+    T = _pick_tile_rows(
+        mx, my, w2, C, H, nglo, has_bias, q.dtype.itemsize,
+        bias.size if has_bias else 0,
+    )
+    if T:
+        return _backward_tiled(
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret
         )
     return _backward_two_pass(
         q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret=interpret
