@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--bias", action="store_true", help="include an RPE bias")
     ap.add_argument("--wide", choices=["auto", "on", "off"], default="auto",
                     help="force the wide dK/dV GEMM variant")
+    ap.add_argument("--tile-t", type=int, default=0,
+                    help="rows per tile for the tiled variant (0 = auto)")
     args = ap.parse_args()
 
     from vil_tpu.ops import masks as masks_lib
@@ -67,6 +69,15 @@ def main():
             return vil_backward._backward_two_pass(*a[:-1], interpret=a[-1])
 
         fns["two_pass"] = two_pass
+
+        def tiled(*a, mx=mx, my=my, w2=w2, C=C, H=H, nglo=nglo):
+            T = args.tile_t or vil_backward._pick_tile_rows(
+                mx, my, w2, C, H, nglo, a[5] is not None,
+                a[0].dtype.itemsize, a[5].size if a[5] is not None else 0,
+            ) or 1
+            return vil_backward._backward_tiled(*a[:-2], a[-2], T, a[-1])
+
+        fns["tiled"] = tiled
 
         # backward FLOPs: 5 score-sized GEMM units (QK, dP, dQ, dK, dV)
         cols = nglo + 9 * w2
