@@ -176,6 +176,9 @@ _k(TPU, "COMPUTE_DTYPE", "bfloat16")
 _k(TPU, "PARAM_DTYPE", "float32")
 # use the fused Pallas sliding-chunk kernel when on TPU
 _k(TPU, "USE_PALLAS", True)
+# fused Pallas LayerNorm fwd/bwd in the per-block pre-norms (no f32
+# activation casts in the LN backward); requires USE_PALLAS
+_k(TPU, "FUSED_LN", False)
 # mesh axes: data / fsdp-style model sharding (data-parallel reference: §2.12)
 _k(TPU, "MESH_SHAPE", [-1])  # -1 = all devices on the 'data' axis
 _k(TPU, "MESH_AXES", ["data"])

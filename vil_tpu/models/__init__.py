@@ -81,6 +81,7 @@ def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
         args["sw_exact"] = cfg.MODEL.VIT.MSVIT.SW_EXACT
         args["ln_eps"] = cfg.MODEL.VIT.MSVIT.LN_EPS
         args["mode"] = cfg.MODEL.VIT.MSVIT.MODE
+        args["fused_ln"] = bool(cfg.TPU.FUSED_LN) and use_pallas
         if cfg.TPU.REMAT and cfg.MODEL.VIT.MSVIT.MODE <= 0:
             args["remat"] = cfg.TPU.REMAT
     logging.info("=> creating model '%s'", name)

@@ -21,6 +21,31 @@ from flax import linen as nn
 trunc_normal_init = jax.nn.initializers.truncated_normal(stddev=0.02)
 
 
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm replacement backed by the fused Pallas
+    forward/backward kernels (ops/pallas/layer_norm.py) — no f32
+    activation-sized casts in the backward. Parameter names/shapes match
+    nn.LayerNorm ('scale'/'bias', (C,)) for checkpoint compatibility."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas.layer_norm import layer_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,), self.param_dtype)
+        return layer_norm(x.astype(self.dtype), scale, bias, self.epsilon)
+
+
+def make_layer_norm(fused: bool, *, epsilon, dtype, param_dtype, name):
+    cls = FusedLayerNorm if fused else nn.LayerNorm
+    return cls(epsilon=epsilon, dtype=dtype, param_dtype=param_dtype, name=name)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (reference uses timm DropPath).
 

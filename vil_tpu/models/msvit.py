@@ -30,7 +30,7 @@ from .attention_efficient import (
     PerformerAttention,
     SRAttention,
 )
-from .layers import DropPath, Mlp, PatchEmbed, trunc_normal_init
+from .layers import DropPath, Mlp, PatchEmbed, make_layer_norm, trunc_normal_init
 
 Mode = Union[int, jax.Array]
 
@@ -67,10 +67,12 @@ class AttnBlock(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    fused_ln: bool = False
 
     def setup(self):
-        self.norm = nn.LayerNorm(
-            epsilon=self.ln_eps, dtype=self.dtype, param_dtype=self.param_dtype
+        self.norm = make_layer_norm(
+            self.fused_ln, epsilon=self.ln_eps, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=None,
         )
         common = dict(
             dim=self.dim,
@@ -147,11 +149,13 @@ class MlpBlock(nn.Module):
     param_dtype: Any = jnp.float32
     # None = auto by dtype (tanh-approx GELU in bf16; exact erf otherwise)
     gelu_approx: Optional[bool] = None
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         out_dim = self.out_dim or self.dim
-        norm = nn.LayerNorm(
+        norm = make_layer_norm(
+            self.fused_ln,
             epsilon=self.ln_eps,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
@@ -216,6 +220,8 @@ class MsViT(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # fused Pallas LayerNorm in the per-block pre-norms (TPU.FUSED_LN)
+    fused_ln: bool = False
     # None = auto by dtype (tanh-approx GELU in bf16; exact erf otherwise)
     gelu_approx: Optional[bool] = None
     # rematerialization of transformer blocks for training memory:
@@ -339,6 +345,7 @@ class MsViT(nn.Module):
                             dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             use_pallas=self.use_pallas,
+                            fused_ln=self.fused_ln,
                             name=f"stage{sid + 1}_block{bid}_attn",
                         ),
                         MlpBlock(
@@ -349,6 +356,7 @@ class MsViT(nn.Module):
                             dtype=self.dtype,
                             param_dtype=self.param_dtype,
                             gelu_approx=self.gelu_approx,
+                            fused_ln=self.fused_ln,
                             name=f"stage{sid + 1}_block{bid}_mlp",
                         ),
                     )
