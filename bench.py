@@ -117,7 +117,9 @@ def main():
         print(f"kernel smoke failed to run: {e!r}", file=__import__("sys").stderr)
         kernels_ok = False
 
-    batch = 128
+    # batch sweep (r2, quiet machine): 64 → 5599, 128 → 5051, 256 → 4853
+    # img/s; 64 wins for inference too (matches the training sweet spot)
+    batch = 64
     images_per_sec = measure(batch)
     print(
         json.dumps(
