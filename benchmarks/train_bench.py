@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--no-mixup", action="store_true")
     ap.add_argument("--random-shift", action="store_true",
                     help="sample a neighbor-block VIL mode per step (MODE>0)")
+    ap.add_argument("--fused-ln", action="store_true",
+                    help="fused Pallas LayerNorm in the block pre-norms")
     ap.add_argument("--iters", type=int, nargs=2, default=(3, 12),
                     metavar=("A", "B"), help="two-point iteration counts")
     args = ap.parse_args()
@@ -55,6 +57,7 @@ def main():
         norm_embed=True,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
         use_pallas=on_tpu and not args.no_pallas,
+        fused_ln=args.fused_ln,
     )
     tx = optax.adamw(1e-4, weight_decay=0.05)
     x = jax.random.normal(
@@ -99,7 +102,7 @@ def main():
     print(
         f"{args.arch} {args.img}px batch={args.batch} "
         f"pallas={not args.no_pallas} mixup={not args.no_mixup} "
-        f"random_shift={args.random_shift}: "
+        f"random_shift={args.random_shift} fused_ln={args.fused_ln}: "
         f"{best * 1e3:.2f} ms/step = {args.batch / best:.1f} img/s"
     )
 
