@@ -118,10 +118,10 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
     dq_ref = refs[i]; i += 1
     dk_ref = refs[i]; i += 1
     dv_ref = refs[i]; i += 1
-    pg_ref = dsg_ref = None
+    dkg_ref = dvg_ref = None
     if nglo > 0:
-        pg_ref = refs[i]; i += 1
-        dsg_ref = refs[i]; i += 1
+        dkg_ref = refs[i]; i += 1  # (1, Nglo, C) f32 per-image outputs
+        dvg_ref = refs[i]; i += 1
     dbias_ref = None
     if has_bias:
         dbias_ref = refs[i]; i += 1
@@ -136,6 +136,12 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
     dk_acc = [[None] * H for _ in range(mx)]
     dv_acc = [[None] * H for _ in range(mx)]
     db_acc = [None] * H
+    # dK_glo/dV_glo accumulate IN-KERNEL (r2): the former pg/dS_glo HBM
+    # outputs fed XLA einsums whose batch-minor reduce layouts materialized
+    # f32 relayout copies of the whole q/g tensors (~1.4 ms/step at stage 1,
+    # train profile copy.834/copy.993 class)
+    dkg_acc = [[None] * H for _ in range(nglo)]
+    dvg_acc = [[None] * H for _ in range(nglo)]
 
     for i_row in range(mx):
         k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
@@ -174,12 +180,24 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
                 preferred_element_type=jnp.float32,
             )
             dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
-            if nglo > 0:
-                pg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
-                    p[..., nloc:].astype(pg_ref.dtype)
+            for gi in range(nglo):
+                gcol = nloc + gi
+                # dK_glo = Σ dS_glo ⊗ q ; dV_glo = Σ P_glo ⊗ g — (my, W², M)
+                # broadcast-mul + reduce in f32 registers (the 1-col "GEMM"
+                # shape is Mosaic-hostile; the VPU tensors here are tiny)
+                dkg_c = jnp.sum(
+                    ds[..., gcol : gcol + 1] * q_h.astype(jnp.float32), axis=0
                 )
-                dsg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
-                    ds[..., nloc:].astype(dsg_ref.dtype)
+                dkg_c = jnp.sum(dkg_c, axis=0, keepdims=True)  # (1, M)
+                dvg_c = jnp.sum(
+                    p[..., gcol : gcol + 1] * g_h.astype(jnp.float32), axis=0
+                )
+                dvg_c = jnp.sum(dvg_c, axis=0, keepdims=True)
+                dkg_acc[gi][h] = (
+                    dkg_c if dkg_acc[gi][h] is None else dkg_acc[gi][h] + dkg_c
+                )
+                dvg_acc[gi][h] = (
+                    dvg_c if dvg_acc[gi][h] is None else dvg_acc[gi][h] + dvg_c
                 )
             if has_bias:
                 db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
@@ -229,6 +247,9 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
         dv_ref[0, r] = jnp.concatenate(
             [a.astype(dv_ref.dtype) for a in dv_acc[r]], axis=-1
         )
+    for gi in range(nglo):
+        dkg_ref[0, gi : gi + 1] = jnp.concatenate(dkg_acc[gi], axis=-1)
+        dvg_ref[0, gi : gi + 1] = jnp.concatenate(dvg_acc[gi], axis=-1)
     if has_bias:
         for h in range(H):
             @pl.when(b_idx == 0)
@@ -390,28 +411,6 @@ def _pass2_kernel(w2, my, H, *refs):
         dv_ref[0, 0, :, :, hs : hs + M] = dv_acc.astype(dv_ref.dtype)
 
 
-def _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H):
-    """dK_glo/dV_glo epilogue einsums over the kernel-emitted normalized
-    global columns. Contraction runs in the INPUT dtype with f32
-    accumulation — casting the full q/g to f32 here materializes ~10 MB
-    relayout copies per stage (measured ~1.4 ms/step in the train profile);
-    the tiny pg/dsg tensors are cast down instead."""
-    B, mx, my, w2, C = q.shape
-    nglo = k_glo.shape[1]
-    M = C // H
-    pg5 = pg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
-    dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
-    q5 = q.reshape(B, mx, my, w2, H, M)
-    g5 = g.reshape(B, mx, my, w2, H, M)
-    dkg = jnp.einsum(
-        "bxywhg,bxywhm->bghm", dsg5, q5, preferred_element_type=jnp.float32
-    ).reshape(B, nglo, C).astype(k_glo.dtype)
-    dvg = jnp.einsum(
-        "bxywhg,bxywhm->bghm", pg5, g5, preferred_element_type=jnp.float32
-    ).reshape(B, nglo, C).astype(v_glo.dtype)
-    return dkg, dvg
-
-
 def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret):
     """Fused one-pass whole-image backward (see _bwd_kernel_img)."""
     B, mx, my, w2, C = q.shape
@@ -462,15 +461,13 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
         jax.ShapeDtypeStruct(v.shape, v.dtype),
     ]
     if nglo > 0:
-        hn = H * nglo
-        pg_spec = pl.BlockSpec(
-            (1, mx, my, w2, hn), lambda b: (b, 0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        glo_spec = pl.BlockSpec(
+            (1, nglo, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        out_specs += [pg_spec, pg_spec]
+        out_specs += [glo_spec, glo_spec]
         out_shapes += [
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
         ]
     if has_bias:
         out_specs.append(
@@ -494,10 +491,10 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
     dq, dk, dv = next(it), next(it), next(it)
     dkg = dvg = dbias = None
     if nglo > 0:
-        pg_out, dsg_out = next(it), next(it)
-        # dQ's global term is already in the kernel's main GEMM; only the
-        # tiny global-row grads remain as XLA epilogue einsums
-        dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
+        # dQ's global term is already in the kernel's main GEMM; dK_glo/
+        # dV_glo accumulate in-kernel — no XLA epilogue einsums (r2)
+        dkg = next(it).astype(k_glo.dtype)
+        dvg = next(it).astype(v_glo.dtype)
     if has_bias:
         db_tail = next(it)  # (H, W², 9W²+Nglo) f32, tail order
         nloc = 9 * w2
@@ -536,10 +533,10 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
     dq_ref = refs[i]; i += 1
     dk_ref = refs[i]; i += 1  # (1, 1, T+2, my, W², C) halo slab
     dv_ref = refs[i]; i += 1
-    pg_ref = dsg_ref = None
+    dkg_ref = dvg_ref = None
     if nglo > 0:
-        pg_ref = refs[i]; i += 1
-        dsg_ref = refs[i]; i += 1
+        dkg_ref = refs[i]; i += 1  # (1, Nglo, C) f32, accumulated over t
+        dvg_ref = refs[i]; i += 1
     dbias_ref = None
     if has_bias:
         dbias_ref = refs[i]; i += 1
@@ -562,6 +559,8 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
     dk_acc = [[None] * H for _ in range(T + 2)]
     dv_acc = [[None] * H for _ in range(T + 2)]
     db_acc = [None] * H
+    dkg_acc = [[None] * H for _ in range(nglo)]
+    dvg_acc = [[None] * H for _ in range(nglo)]
 
     for i_row in range(T):
         k_rows = [kv_row(k_refs, i_row + dx) for dx in (-1, 0, 1)]
@@ -599,12 +598,21 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
                 preferred_element_type=jnp.float32,
             )
             dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
-            if nglo > 0:
-                pg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
-                    p[..., nloc:].astype(pg_ref.dtype)
+            for gi in range(nglo):
+                gcol = nloc + gi
+                dkg_c = jnp.sum(
+                    ds[..., gcol : gcol + 1] * q_h.astype(jnp.float32), axis=0
                 )
-                dsg_ref[0, i_row, :, :, h * nglo : (h + 1) * nglo] = (
-                    ds[..., nloc:].astype(dsg_ref.dtype)
+                dkg_c = jnp.sum(dkg_c, axis=0, keepdims=True)  # (1, M)
+                dvg_c = jnp.sum(
+                    p[..., gcol : gcol + 1] * g_h.astype(jnp.float32), axis=0
+                )
+                dvg_c = jnp.sum(dvg_c, axis=0, keepdims=True)
+                dkg_acc[gi][h] = (
+                    dkg_c if dkg_acc[gi][h] is None else dkg_acc[gi][h] + dkg_c
+                )
+                dvg_acc[gi][h] = (
+                    dvg_c if dvg_acc[gi][h] is None else dvg_acc[gi][h] + dvg_c
                 )
             if has_bias:
                 db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
@@ -638,6 +646,22 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
         dv_ref[0, 0, s] = jnp.concatenate(
             [a.astype(dv_ref.dtype) for a in dv_acc[s]], axis=-1
         )
+    # dK_glo/dV_glo: per-image accumulation across the tile grid steps
+    # (t is the inner grid dim — steps for one b are consecutive)
+    for gi in range(nglo):
+        dkg_t = jnp.concatenate(dkg_acc[gi], axis=-1)  # (1, C) f32
+        dvg_t = jnp.concatenate(dvg_acc[gi], axis=-1)
+
+        @pl.when(t_idx == 0)
+        def _(gi=gi, dkg_t=dkg_t, dvg_t=dvg_t):
+            dkg_ref[0, gi : gi + 1] = dkg_t
+            dvg_ref[0, gi : gi + 1] = dvg_t
+
+        @pl.when(t_idx != 0)
+        def _(gi=gi, dkg_t=dkg_t, dvg_t=dvg_t):
+            dkg_ref[0, gi : gi + 1] += dkg_t
+            dvg_ref[0, gi : gi + 1] += dvg_t
+
     if has_bias:
         first = jnp.logical_and(b_idx == 0, t_idx == 0)
         for h in range(H):
@@ -739,15 +763,13 @@ def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret):
         jax.ShapeDtypeStruct((B, n_tiles, T + 2, my, w2, C), v.dtype),
     ]
     if nglo > 0:
-        hn = H * nglo
-        pg_spec = pl.BlockSpec(
-            (1, T, my, w2, hn), lambda b, t: (b, t, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        glo_spec = pl.BlockSpec(
+            (1, nglo, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
         )
-        out_specs += [pg_spec, pg_spec]
+        out_specs += [glo_spec, glo_spec]
         out_shapes += [
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
         ]
     if has_bias:
         out_specs.append(
@@ -785,8 +807,8 @@ def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret):
     dv = combine(dv_slab, v.dtype)
     dkg = dvg = dbias = None
     if nglo > 0:
-        pg_out, dsg_out = next(it), next(it)
-        dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
+        dkg = next(it).astype(k_glo.dtype)
+        dvg = next(it).astype(v_glo.dtype)
     if has_bias:
         db_tail = next(it)
         nloc = 9 * w2
