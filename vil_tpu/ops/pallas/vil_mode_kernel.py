@@ -22,8 +22,7 @@ parallel:
       outputs — the inverse roll of the sampled-block grads is XLA autodiff's
       job (the custom_vjp boundary takes k_nb/v_nb as inputs, so d(roll) is
       derived for free). dbias accumulates in-kernel across the grid; the
-      tiny global columns go through the same pg/dsg epilogue einsums as
-      vil_backward.
+      tiny global columns go through pg/dsg epilogue einsums (_glo_grads).
 
 Replaces the pure-XLA tier for MODE>0 training steps (it remains the
 fallback for attention dropout / mode -1 / CPU).
@@ -47,6 +46,32 @@ INTERPRET = False
 WHOLE_IMAGE_VMEM_BYTES = 48 * 2**20
 
 _NEG_INF = float(np.finfo(np.float32).min) / 2
+
+
+def _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H):
+    """dK_glo/dV_glo epilogue einsums over the kernel-emitted normalized
+    global columns. Contraction runs in the INPUT dtype with f32
+    accumulation — casting the full q/g to f32 here materializes ~10 MB
+    relayout copies per stage (measured ~1.4 ms/step in the train profile);
+    the tiny pg/dsg tensors are cast down instead. (The full-neighborhood
+    backward kernels in vil_backward.py accumulate these grads in-kernel
+    since r2; the mode path keeps the epilogue — its pg/dsg tensors carry
+    only 2W²+Nglo columns and the extra kernel outputs aren't worth the
+    VMEM at the mode kernel's per-chunk grid.)"""
+    B, mx, my, w2, C = q.shape
+    nglo = k_glo.shape[1]
+    M = C // H
+    pg5 = pg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
+    dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
+    q5 = q.reshape(B, mx, my, w2, H, M)
+    g5 = g.reshape(B, mx, my, w2, H, M)
+    dkg = jnp.einsum(
+        "bxywhg,bxywhm->bghm", dsg5, q5, preferred_element_type=jnp.float32
+    ).reshape(B, nglo, C).astype(k_glo.dtype)
+    dvg = jnp.einsum(
+        "bxywhg,bxywhm->bghm", pg5, g5, preferred_element_type=jnp.float32
+    ).reshape(B, nglo, C).astype(v_glo.dtype)
+    return dkg, dvg
 
 
 def _cat2(a, b, extra=None):
@@ -459,8 +484,6 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     dq, dks, dknb, dvs, dvnb = (next(it) for _ in range(5))
     dkg = dvg = dbias = None
     if nglo > 0:
-        from .vil_backward import _glo_grads
-
         pg_out, dsg_out = next(it), next(it)
         dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
     if has_bias:
