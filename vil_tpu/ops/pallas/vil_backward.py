@@ -180,43 +180,69 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
                 preferred_element_type=jnp.float32,
             )
             dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
-            for gi in range(nglo):
-                gcol = nloc + gi
-                # dK_glo = Σ dS_glo ⊗ q ; dV_glo = Σ P_glo ⊗ g — (my, W², M)
-                # broadcast-mul + reduce in f32 registers (the 1-col "GEMM"
-                # shape is Mosaic-hostile; the VPU tensors here are tiny)
-                dkg_c = jnp.sum(
-                    ds[..., gcol : gcol + 1] * q_h.astype(jnp.float32), axis=0
-                )
-                dkg_c = jnp.sum(dkg_c, axis=0, keepdims=True)  # (1, M)
-                dvg_c = jnp.sum(
-                    p[..., gcol : gcol + 1] * g_h.astype(jnp.float32), axis=0
-                )
-                dvg_c = jnp.sum(dvg_c, axis=0, keepdims=True)
-                dkg_acc[gi][h] = (
-                    dkg_c if dkg_acc[gi][h] is None else dkg_acc[gi][h] + dkg_c
-                )
-                dvg_acc[gi][h] = (
-                    dvg_c if dvg_acc[gi][h] is None else dvg_acc[gi][h] + dvg_c
-                )
             if has_bias:
                 db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
                 db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
             p_c = p.astype(q_h.dtype)
             # transposed per-block contributions: query row i's block
             # (dx, dy) feeds dK/dV row (i+dx) with column roll −dy. ONE wide
-            # (my, 9W², M) GEMM per tensor (9 separate 49-row GEMMs waste
-            # ~60% of each 128-row MXU tile), then static sublane slices.
+            # (my, 9W²+Nglo, M) GEMM per tensor (9 separate 49-row GEMMs
+            # waste ~60% of each 128-row MXU tile), then static sublane
+            # slices. The GLOBAL columns ride the SAME GEMMs: output area
+            # grows by Nglo/9W² (~0.2%) and dK_glo/dV_glo become a (my, M)
+            # slice + reduce — the per-glo-column VPU broadcast-mul-reduce
+            # alternative ((my, W², 1)-shaped, 1/128-lane) measured +0.8 ms
+            # on the stage-1 kernel (6.47 vs 5.69 ms).
             wide = WIDE_DKDV if WIDE_DKDV is not None else True
             if wide:
                 dk_wide = jax.lax.dot_general(
-                    ds_c[:, :, :nloc], q_h, (((1,), (1,)), ((0,), (0,))),
+                    ds_c, q_h, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # (my, 9W², M)
+                )  # (my, 9W²+Nglo, M)
                 dv_wide = jax.lax.dot_general(
-                    p_c[:, :, :nloc], g_h, (((1,), (1,)), ((0,), (0,))),
+                    p_c, g_h, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
+                for gi in range(nglo):
+                    # 3-D slice keeps the reduce on the UNTILED major (my)
+                    # axis — a 2-D slice would put my on sublanes at the
+                    # glo row's nonzero sublane offset, which Mosaic's
+                    # multi_reduction rejects
+                    g0 = nloc + gi
+                    dkg_c = jnp.sum(
+                        dk_wide[:, g0 : g0 + 1, :], axis=0
+                    )  # (1, M)
+                    dvg_c = jnp.sum(dv_wide[:, g0 : g0 + 1, :], axis=0)
+                    dkg_acc[gi][h] = (
+                        dkg_c if dkg_acc[gi][h] is None
+                        else dkg_acc[gi][h] + dkg_c
+                    )
+                    dvg_acc[gi][h] = (
+                        dvg_c if dvg_acc[gi][h] is None
+                        else dvg_acc[gi][h] + dvg_c
+                    )
+            else:
+                for gi in range(nglo):
+                    gcol = nloc + gi
+                    # A/B fallback: per-glo-column broadcast-mul-reduce
+                    dkg_c = jnp.sum(
+                        ds[..., gcol : gcol + 1] * q_h.astype(jnp.float32),
+                        axis=0,
+                    )
+                    dkg_c = jnp.sum(dkg_c, axis=0, keepdims=True)  # (1, M)
+                    dvg_c = jnp.sum(
+                        p[..., gcol : gcol + 1] * g_h.astype(jnp.float32),
+                        axis=0,
+                    )
+                    dvg_c = jnp.sum(dvg_c, axis=0, keepdims=True)
+                    dkg_acc[gi][h] = (
+                        dkg_c if dkg_acc[gi][h] is None
+                        else dkg_acc[gi][h] + dkg_c
+                    )
+                    dvg_acc[gi][h] = (
+                        dvg_c if dvg_acc[gi][h] is None
+                        else dvg_acc[gi][h] + dvg_c
+                    )
             for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
                 c0 = bi * w2
                 if wide:
@@ -598,36 +624,32 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
                 preferred_element_type=jnp.float32,
             )
             dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+            if has_bias:
+                db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
+                db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
+            p_c = p.astype(q_h.dtype)
+            # wide (my, 9W²+Nglo, M) transposed-contribution GEMMs + static
+            # sublane slices; the global columns ride the same GEMMs (same
+            # rationale as the whole-image kernel)
+            dk_wide = jax.lax.dot_general(
+                ds_c, q_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv_wide = jax.lax.dot_general(
+                p_c, g_h, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
             for gi in range(nglo):
-                gcol = nloc + gi
-                dkg_c = jnp.sum(
-                    ds[..., gcol : gcol + 1] * q_h.astype(jnp.float32), axis=0
-                )
-                dkg_c = jnp.sum(dkg_c, axis=0, keepdims=True)  # (1, M)
-                dvg_c = jnp.sum(
-                    p[..., gcol : gcol + 1] * g_h.astype(jnp.float32), axis=0
-                )
-                dvg_c = jnp.sum(dvg_c, axis=0, keepdims=True)
+                # 3-D slice + major-axis reduce (see whole-image kernel note)
+                g0 = nloc + gi
+                dkg_c = jnp.sum(dk_wide[:, g0 : g0 + 1, :], axis=0)  # (1, M)
+                dvg_c = jnp.sum(dv_wide[:, g0 : g0 + 1, :], axis=0)
                 dkg_acc[gi][h] = (
                     dkg_c if dkg_acc[gi][h] is None else dkg_acc[gi][h] + dkg_c
                 )
                 dvg_acc[gi][h] = (
                     dvg_c if dvg_acc[gi][h] is None else dvg_acc[gi][h] + dvg_c
                 )
-            if has_bias:
-                db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
-                db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
-            p_c = p.astype(q_h.dtype)
-            # wide (my, 9W², M) transposed-contribution GEMMs + static
-            # sublane slices (same rationale as the whole-image kernel)
-            dk_wide = jax.lax.dot_general(
-                ds_c[:, :, :nloc], q_h, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            dv_wide = jax.lax.dot_general(
-                p_c[:, :, :nloc], g_h, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
             for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
                 c0 = bi * w2
                 dk_c = dk_wide[:, c0 : c0 + w2, :]
