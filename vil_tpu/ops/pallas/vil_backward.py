@@ -89,9 +89,9 @@ def _nbh(rows, my):
     return jnp.concatenate(parts, axis=1)
 
 
-def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
+def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, *refs):
     """Fused whole-image backward (grid (B,)). refs:
-    [q, k, v, g, (kg_row, vg_row)?, (bias_tail)?, mask_tail,
+    [q, k, v, g, (kg_row, vg_row)?, (bias_tail)?, mask_tail, (lse)?,
      dq, dk, dv, (pg_out, dsg_out)?, (dbias_tail)?].
 
     kg_row/vg_row are the global K/V rows pre-broadcast over my XLA-side
@@ -115,6 +115,9 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
+    lse_ref = None
+    if with_lse:
+        lse_ref = refs[i]; i += 1
     dq_ref = refs[i]; i += 1
     dk_ref = refs[i]; i += 1
     dv_ref = refs[i]; i += 1
@@ -164,9 +167,15 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, *refs):
             if has_bias:
                 scores = scores + bias_tail[h][None]
             scores = scores + mask
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # normalized
+            if lse_ref is not None:
+                # forward-stashed log-sum-exp: normalized probs in ONE exp
+                # pass (the max/sum/divide recompute is skipped; masked
+                # columns still underflow exp to exactly 0)
+                p = jnp.exp(scores - lse_ref[0, h, i_row][..., None])
+            else:
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             dp = jax.lax.dot_general(
                 g_h, v_h, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -437,7 +446,8 @@ def _pass2_kernel(w2, my, H, *refs):
         dv_ref[0, 0, :, :, hs : hs + M] = dv_acc.astype(dv_ref.dtype)
 
 
-def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret):
+def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
+                          interpret, lse=None):
     """Fused one-pass whole-image backward (see _bwd_kernel_img)."""
     B, mx, my, w2, C = q.shape
     nglo = 0 if k_glo is None else k_glo.shape[1]
@@ -479,6 +489,12 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
                      memory_space=pltpu.VMEM)
     )
     operands.append(jnp.asarray(mask_tail))
+    if lse is not None:
+        in_specs.append(
+            pl.BlockSpec((1, H, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(lse)
 
     out_specs = [img_spec, img_spec, img_spec]
     out_shapes = [
@@ -503,7 +519,8 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
         out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
 
     results = pl.pallas_call(
-        functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, has_bias),
+        functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, has_bias,
+                          lse is not None),
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -530,7 +547,7 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
     return dq, dk, dv, dkg, dvg, dbias
 
 
-def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
+def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, with_lse, *refs):
     """Super-row tiled fused backward (grid (B, n_tiles)) for images whose
     whole-image VMEM estimate exceeds the budget (e.g. 14×14-chunk 384²
     stage-1 grids). Identical math to _bwd_kernel_img, but each grid step
@@ -542,7 +559,7 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
     multi-GB stash; reference backward slidingchunk_2d.py:133-200).
 
     refs: [q, k×3, v×3, g, (kg_row, vg_row)?, (bias_tail)?, mask_tile,
-    dq, dk_slab, dv_slab, (pg_out, dsg_out)?, (dbias_tail)?]."""
+    (lse_tile)?, dq, dk_slab, dv_slab, (pg_out, dsg_out)?, (dbias_tail)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
@@ -556,6 +573,9 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
+    lse_ref = None
+    if with_lse:
+        lse_ref = refs[i]; i += 1
     dq_ref = refs[i]; i += 1
     dk_ref = refs[i]; i += 1  # (1, 1, T+2, my, W², C) halo slab
     dv_ref = refs[i]; i += 1
@@ -609,9 +629,13 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, *refs):
             if has_bias:
                 scores = scores + bias_tail[h][None]
             scores = scores + mask
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            if lse_ref is not None:
+                # forward-stashed log-sum-exp (see _bwd_kernel_img)
+                p = jnp.exp(scores - lse_ref[0, h, i_row][..., None])
+            else:
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             dp = jax.lax.dot_general(
                 g_h, v_h, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -720,7 +744,8 @@ def _pick_tile_rows(mx, my, w2, C, H, nglo, has_bias, itemsize, bias_size):
     return 0
 
 
-def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret):
+def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret,
+                    lse=None):
     """Super-row tiled fused backward (see _bwd_kernel_tiled)."""
     B, mx, my, w2, C = q.shape
     nglo = 0 if k_glo is None else k_glo.shape[1]
@@ -773,6 +798,12 @@ def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret):
                      memory_space=pltpu.VMEM)
     )
     operands.append(jnp.asarray(mask_tail))
+    if lse is not None:
+        in_specs.append(
+            pl.BlockSpec((1, H, T, my, w2), lambda b, t: (b, 0, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(lse)
 
     slab_spec = pl.BlockSpec(
         (1, 1, T + 2, my, w2, C), lambda b, t: (b, t, 0, 0, 0, 0),
@@ -801,7 +832,8 @@ def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret):
         out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
 
     results = pl.pallas_call(
-        functools.partial(_bwd_kernel_tiled, nglo, w2, T, my, H, has_bias),
+        functools.partial(_bwd_kernel_tiled, nglo, w2, T, my, H, has_bias,
+                          lse is not None),
         grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -851,9 +883,14 @@ def vil_attention_backward(
     mask_add: np.ndarray,
     num_heads: int,
     *,
+    lse: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ):
-    """Returns (dq, dk, dv, dk_glo, dv_glo, dbias) for the MH forward."""
+    """Returns (dq, dk, dv, dk_glo, dv_glo, dbias) for the MH forward.
+
+    ``lse`` (B, H, mx, my, W²) f32 is the forward-stashed log-sum-exp; when
+    present the fused kernels recompute normalized probs in ONE exp pass
+    (p = exp(scores − L)) instead of max + exp + sum + divide."""
     B, mx, my, w2, C = q.shape
     H = num_heads
     nglo = 0 if k_glo is None else k_glo.shape[1]
@@ -881,11 +918,11 @@ def vil_attention_backward(
     if FORCE_TILE_T is not None:
         return _backward_tiled(
             q, k, v, k_glo, v_glo, bias, g, mask_add, H, FORCE_TILE_T,
-            interpret,
+            interpret, lse=lse,
         )
     if img_bytes <= WHOLE_IMAGE_VMEM_BYTES:
         return _backward_whole_image(
-            q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret, lse=lse
         )
     # too big for whole-image: super-row tiles keep the fused (no-stash)
     # structure at 384²-class grids; the two-pass stash variant remains the
@@ -896,7 +933,8 @@ def vil_attention_backward(
     )
     if T:
         return _backward_tiled(
-            q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret,
+            lse=lse,
         )
     return _backward_two_pass(
         q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret=interpret

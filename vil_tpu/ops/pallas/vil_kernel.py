@@ -77,7 +77,7 @@ def _nbh_rows(rows, my: int, extra=None):
 
 
 def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
-                nglo: int, num_heads: int, out_dtype):
+                nglo: int, num_heads: int, out_dtype, lse_out=None):
     """One chunk-row of fused attention, all heads, deferred normalization.
 
     q_row (my, W2, C); k_nbh (my, 9W2+Nglo, C) — global K rows already
@@ -128,6 +128,12 @@ def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
         # actually consumes
         probs = jnp.exp(scores - m).astype(q_h.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+        if lse_out is not None:
+            # stash the log-sum-exp L = m + log(Σe) so the backward can
+            # recompute normalized probs in a SINGLE exp pass
+            # (p = exp(scores − L)) instead of max + exp + sum + divide;
+            # the log runs on the tiny (my, W², 1) denominator
+            lse_out.append((m + jnp.log(denom))[..., 0])  # (my, W²) f32
         acc = jax.lax.dot_general(
             probs[..., :nloc], v_h.astype(probs.dtype),
             (((2,), (1,)), ((0,), (0,))),
@@ -141,13 +147,14 @@ def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
     return jnp.concatenate(outs, axis=-1)
 
 
-def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *refs):
+def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool,
+               with_lse: bool, *refs):
     """Row-grid kernel body (grid (B, mx)): blocks carry the FULL channel dim
     C = H·M and heads are looped in-register (static unroll). This keeps the
     lane dim at C (e.g. 96) for every HBM↔VMEM transfer — the head split
     never materializes outside the kernel. refs:
     [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias_tail)?, mask_row,
-    out_row]."""
+    out_row, (lse_row)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
@@ -160,18 +167,23 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool, *ref
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
-    out_ref = refs[i]
+    out_ref = refs[i]; i += 1
+    lse_out = [] if with_lse else None
 
     k_nbh = _nbh_rows([kr[0, 0] for kr in k_refs], my, kg_row)
     v_nbh = _nbh_rows([vr[0, 0] for vr in v_refs], my)
     out_ref[0, 0] = _attend_row(
         q_ref[0, 0], k_nbh, v_nbh, vg, bias_tail, mask_ref[0],
-        nglo, num_heads, out_ref.dtype,
+        nglo, num_heads, out_ref.dtype, lse_out,
     )
+    if with_lse:
+        lse_ref = refs[i]
+        for h in range(num_heads):
+            lse_ref[0, h, 0] = lse_out[h]
 
 
 def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
-                   has_bias: bool, *refs):
+                   has_bias: bool, with_lse: bool, *refs):
     """Whole-image kernel body (grid (B,)): the ENTIRE per-image Q/K/V
     (mx, my, W², C) is resident in VMEM — viable because a ViL stage's
     feature map is small (e.g. stage 1 of ViL-Small 224: 64 chunks × 49 ×
@@ -190,17 +202,22 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
-    out_ref = refs[i]
+    out_ref = refs[i]; i += 1
+    lse_ref = refs[i] if with_lse else None
 
     for i_row in range(mx):
         k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        lse_out = [] if with_lse else None
         out_ref[0, i_row] = _attend_row(
             q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
             _nbh_rows(v_rows, my),
             vg, bias_tail, mask_ref[i_row],
-            nglo, num_heads, out_ref.dtype,
+            nglo, num_heads, out_ref.dtype, lse_out,
         )
+        if with_lse:
+            for h in range(num_heads):
+                lse_ref[0, h, i_row] = lse_out[h]
 
 
 def _pallas_forward_mh(
@@ -214,9 +231,12 @@ def _pallas_forward_mh(
     num_heads: int,
     *,
     interpret: Optional[bool] = None,
+    with_lse: bool = False,
 ) -> jax.Array:
     """Multi-head entry: q,k,v (B, mx, my, W², C); k_glo/v_glo (B, Nglo, C);
-    bias (H, W², Nglo+9W²) or None. Returns (B, mx, my, W², C)."""
+    bias (H, W², Nglo+9W²) or None. Returns (B, mx, my, W², C); with
+    ``with_lse`` returns (out, lse) where lse (B, H, mx, my, W²) f32 is the
+    per-query log-sum-exp consumed by the fused backward."""
     B, mx, my, w2, C = q.shape
     nglo = 0 if k_glo is None else k_glo.shape[1]
     has_bias = bias is not None
@@ -263,8 +283,12 @@ def _pallas_forward_mh(
             memory_space=pltpu.VMEM,
         )
         out_spec = img_spec
+        lse_spec = pl.BlockSpec(
+            (1, num_heads, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
         kernel = functools.partial(
-            _mh_kernel_img, nglo, w2, mx, my, num_heads, has_bias
+            _mh_kernel_img, nglo, w2, mx, my, num_heads, has_bias, with_lse
         )
     else:
         row_block = (1, 1, my, w2, C)
@@ -290,7 +314,13 @@ def _pallas_forward_mh(
             memory_space=pltpu.VMEM,
         )
         out_spec = q_spec
-        kernel = functools.partial(_mh_kernel, nglo, w2, my, num_heads, has_bias)
+        lse_spec = pl.BlockSpec(
+            (1, num_heads, 1, my, w2), lambda b, i: (b, 0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        kernel = functools.partial(
+            _mh_kernel, nglo, w2, my, num_heads, has_bias, with_lse
+        )
 
     if nglo > 0:
         # global K rows pre-broadcast over my OUTSIDE the kernel (tiny
@@ -320,12 +350,20 @@ def _pallas_forward_mh(
 
     flops_cell = 2 * my * w2 * cols * C * 2
     kv_reads = 3 if whole_image else 7
+    out_specs = out_spec
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if with_lse:
+        out_specs = [out_spec, lse_spec]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, num_heads, mx, my, w2), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_cell * B * mx,
             bytes_accessed=(q.size + kv_reads * k.size) * q.dtype.itemsize,
@@ -390,15 +428,24 @@ def make_fused_vil_attention_mh(
         return _xla_reference_mh(q, k, v, k_glo, v_glo, bias, mask_add, num_heads)
 
     def fwd(q, k, v, k_glo, v_glo, bias):
-        return fused(q, k, v, k_glo, v_glo, bias), (q, k, v, k_glo, v_glo, bias)
+        if use_pallas:
+            # train-path forward also stashes the per-query log-sum-exp so
+            # the fused backward skips the softmax max/sum/divide recompute
+            out, lse = _pallas_forward_mh(
+                q, k, v, k_glo, v_glo, bias, mask_add, num_heads,
+                with_lse=True,
+            )
+            return out, (q, k, v, k_glo, v_glo, bias, lse)
+        out = _xla_reference_mh(q, k, v, k_glo, v_glo, bias, mask_add, num_heads)
+        return out, (q, k, v, k_glo, v_glo, bias, None)
 
     def bwd(res, g):
-        q, k, v, k_glo, v_glo, bias = res
+        q, k, v, k_glo, v_glo, bias, lse = res
         if use_pallas and pallas_bwd:
             from .vil_backward import vil_attention_backward
 
             dq, dk, dv, dkg, dvg, dbias = vil_attention_backward(
-                q, k, v, k_glo, v_glo, bias, g, mask_add, num_heads
+                q, k, v, k_glo, v_glo, bias, g, mask_add, num_heads, lse=lse
             )
             if bias is not None:
                 dbias = dbias.astype(bias.dtype)
