@@ -89,10 +89,15 @@ def _nbh(rows, my):
     return jnp.concatenate(parts, axis=1)
 
 
-def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, *refs):
+def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
     """Fused whole-image backward (grid (B,)). refs:
-    [q, k, v, g, (kg_row, vg_row)?, (bias_tail)?, mask_tail, (lse)?,
+    [q, k, v, g, (kg_row, vg_row)?, comb | ((bias_tail)?, mask_tail), (lse)?,
      dq, dk, dv, (pg_out, dsg_out)?, (dbias_tail)?].
+
+    ``class_of`` (length-mx tuple of static ints): when present, the bias and
+    mask inputs are replaced by ONE combined row-class table (Hc, ncls, my,
+    W², cols) — see vil_kernel.build_comb — and the per-head score
+    adjustment is a single VPU add.
 
     kg_row/vg_row are the global K/V rows pre-broadcast over my XLA-side
     ((1, my, Nglo, C) — in-kernel broadcast lowers to an unsupported Mosaic
@@ -111,10 +116,13 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, *refs):
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
         vg_row = refs[i][0]; i += 1
-    bias_tail = None
-    if has_bias:
-        bias_tail = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
+    bias_tail = mask_ref = comb_ref = None
+    if class_of is not None:
+        comb_ref = refs[i]; i += 1
+    else:
+        if has_bias:
+            bias_tail = refs[i]; i += 1
+        mask_ref = refs[i]; i += 1
     lse_ref = None
     if with_lse:
         lse_ref = refs[i]; i += 1
@@ -153,7 +161,8 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, *refs):
         v_nbh = _nbh_rows(v_rows, my, vg_row)
         q_row = q_ref[0, i_row]  # (my, W², C)
         g_row = g_ref[0, i_row]
-        mask = mask_ref[i_row]  # (my, W², 9W²+Nglo) f32, tail order
+        if mask_ref is not None:
+            mask = mask_ref[i_row]  # (my, W², 9W²+Nglo) f32, tail order
         for h in range(H):
             hs = h * M
             q_h = q_row[..., hs : hs + M]
@@ -164,9 +173,16 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, *refs):
                 q_h, k_h, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (my, W², cols)
-            if has_bias:
-                scores = scores + bias_tail[h][None]
-            scores = scores + mask
+            if comb_ref is not None:
+                # combined bias+mask class table: one add (vil_kernel
+                # build_comb); rc static via the unrolled row loop
+                scores = scores + comb_ref[
+                    h if comb_ref.shape[0] > 1 else 0, class_of[i_row]
+                ]
+            else:
+                if has_bias:
+                    scores = scores + bias_tail[h][None]
+                scores = scores + mask
             if lse_ref is not None:
                 # forward-stashed log-sum-exp: normalized probs in ONE exp
                 # pass (the max/sum/divide recompute is skipped; masked
@@ -453,14 +469,16 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
     nglo = 0 if k_glo is None else k_glo.shape[1]
     has_bias = bias is not None
     cols = nglo + 9 * w2
-    from .vil_kernel import expand_tail_mask
+    from .vil_kernel import build_comb, tail_mask_classes
 
-    mask_tail = expand_tail_mask(mask_add, nglo, w2)
     bias_tail = None
     if has_bias:
         bias_tail = jnp.concatenate(
             [bias[..., nglo:], bias[..., :nglo]], axis=-1
         ).astype(jnp.float32)  # (H, W², 9W²+Nglo), tail order
+    # combined bias+mask row-class table (one in-kernel add, see build_comb)
+    classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
+    comb = build_comb(classes_host, bias_tail, w2)
 
     img_block = (1, mx, my, w2, C)
     img_spec = pl.BlockSpec(
@@ -478,17 +496,10 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
             jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
             jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
-    if has_bias:
-        in_specs.append(
-            pl.BlockSpec((H, w2, cols), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        operands.append(bias_tail)
     in_specs.append(
-        pl.BlockSpec((mx, my, w2, cols), lambda b: (0, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec(comb.shape, lambda b: (0,) * 5, memory_space=pltpu.VMEM)
     )
-    operands.append(jnp.asarray(mask_tail))
+    operands.append(comb)
     if lse is not None:
         in_specs.append(
             pl.BlockSpec((1, H, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
@@ -520,7 +531,7 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
 
     results = pl.pallas_call(
         functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, has_bias,
-                          lse is not None),
+                          lse is not None, class_of),
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -908,11 +919,15 @@ def vil_attention_backward(
     # f32 shapes request 115 MB with a naive estimate of 30 MB), so they
     # all count. Shapes over budget fall back to the two-pass variant.
     cols_tail = nglo + 9 * w2
+    from .vil_kernel import tail_mask_classes
+
+    ncls = tail_mask_classes(np.asarray(mask_add), nglo)[0].shape[0]
+    comb_bytes = (H if has_bias else 1) * ncls * my * w2 * cols_tail * 4
     img_bytes = (
         mx * H * 5 * my * w2 * cols_tail * 4
         + 7 * 2 * (q.size // B) * q.dtype.itemsize
-        + mx * my * w2 * cols_tail * 4
-        + (2 * bias.size * 4 if has_bias else 0)
+        + comb_bytes
+        + (bias.size * 4 if has_bias else 0)  # dbias accumulator
         + 2 * mx * my * w2 * C * 4
     )
     if FORCE_TILE_T is not None:

@@ -77,7 +77,8 @@ def _nbh_rows(rows, my: int, extra=None):
 
 
 def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
-                nglo: int, num_heads: int, out_dtype, lse_out=None):
+                nglo: int, num_heads: int, out_dtype, lse_out=None,
+                comb_row=None):
     """One chunk-row of fused attention, all heads, deferred normalization.
 
     q_row (my, W2, C); k_nbh (my, 9W2+Nglo, C) — global K rows already
@@ -118,9 +119,16 @@ def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
             q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (my, W2, 9W2+Nglo)
-        if bias_tail is not None:
-            scores = scores + bias_tail[h][None]
-        scores = scores + mask
+        if comb_row is not None:
+            # combined bias+mask row-class table: ONE VPU add over the
+            # (my, W², cols) score tensor instead of two (see build_comb);
+            # rc is a static Python int (rows are unrolled)
+            comb_ref, rc = comb_row
+            scores = scores + comb_ref[h if comb_ref.shape[0] > 1 else 0, rc]
+        else:
+            if bias_tail is not None:
+                scores = scores + bias_tail[h][None]
+            scores = scores + mask
         m = jnp.max(scores, axis=-1, keepdims=True)
         # unnormalized probs, cast in the same pass as the exp (the f32
         # probability tensor never hits VMEM); denominator accumulates in
@@ -183,13 +191,17 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool,
 
 
 def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
-                   has_bias: bool, with_lse: bool, *refs):
+                   has_bias: bool, with_lse: bool, class_of, *refs):
     """Whole-image kernel body (grid (B,)): the ENTIRE per-image Q/K/V
     (mx, my, W², C) is resident in VMEM — viable because a ViL stage's
     feature map is small (e.g. stage 1 of ViL-Small 224: 64 chunks × 49 ×
     96 × bf16 ≈ 600 KB/tensor). Rows are unrolled statically; each K/V row
     is read from HBM ONCE (vs 3× for the row grid) and per-grid-step
-    pipeline overhead is amortized mx-fold."""
+    pipeline overhead is amortized mx-fold.
+
+    ``class_of`` (length-mx tuple of static ints) selects the row's slice of
+    the combined bias+mask class table (see build_comb) — the refs then carry
+    ONE comb table instead of separate bias/mask tables."""
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
@@ -198,10 +210,13 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     if nglo > 0:
         kg_row = refs[i][0]; i += 1  # (my, Nglo, C) pre-broadcast XLA-side
         vg = refs[i][0]; i += 1
-    bias_tail = None
-    if has_bias:
-        bias_tail = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
+    bias_tail = mask_ref = comb_ref = None
+    if class_of is not None:
+        comb_ref = refs[i]; i += 1
+    else:
+        if has_bias:
+            bias_tail = refs[i]; i += 1
+        mask_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_ref = refs[i] if with_lse else None
 
@@ -212,8 +227,9 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
         out_ref[0, i_row] = _attend_row(
             q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
             _nbh_rows(v_rows, my),
-            vg, bias_tail, mask_ref[i_row],
+            vg, bias_tail, mask_ref[i_row] if mask_ref is not None else None,
             nglo, num_heads, out_ref.dtype, lse_out,
+            comb_row=None if comb_ref is None else (comb_ref, class_of[i_row]),
         )
         if with_lse:
             for h in range(num_heads):
@@ -247,7 +263,6 @@ def _pallas_forward_mh(
     # the kernel appends the global columns at the TAIL of the score tensor
     # (the global K rows ride the main GEMM operand) — reorder the mask/bias
     # tables here, outside the kernel, where the lane shuffle is free
-    mask_tail = expand_tail_mask(mask_add, nglo, w2)
     wq = w2
     bias_tail = None
     if has_bias:
@@ -255,18 +270,31 @@ def _pallas_forward_mh(
             [bias[..., nglo:], bias[..., :nglo]], axis=-1
         ).astype(jnp.float32)  # (H, W2, 9W2+Nglo), tail order
 
+    # whole-image kernels take the COMBINED bias+mask row-class table (one
+    # in-kernel VPU add per head per row instead of two — see build_comb);
+    # the row-grid fallback keeps separate tables (its mask block is indexed
+    # by the traced grid row, which can't do the static class lookup)
+    classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
+    ncls = classes_host.shape[0]
+    comb_bytes = (num_heads if has_bias else 1) * ncls * my * w2 * cols * 4
+
     # VMEM estimate for the whole-image variant: q/k/v/out resident (×2 for
-    # pipeline double-buffering), the full mask table, bias, plus one row of
-    # f32 intermediates. Prefer whole-image when it fits comfortably in the
+    # pipeline double-buffering), the comb table, plus one row of f32
+    # intermediates. Prefer whole-image when it fits comfortably in the
     # default 16 MB scope — it reads K/V once from HBM (vs 3×) and amortizes
     # per-step overhead mx-fold.
     img_bytes = (
         4 * 2 * q.size // B * q.dtype.itemsize  # q,k,v,out ×2 buffers
-        + mask_tail.size * 4  # f32 mask table, fully resident
-        + (bias.size * 4 if has_bias else 0)
+        + comb_bytes  # f32 comb table, fully resident
         + 3 * my * w2 * cols * 4  # live f32 score-row intermediates
     )
     whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+    mask_tail = None
+    if whole_image:
+        comb = build_comb(classes_host, bias_tail, w2)
+    else:
+        class_of = None
+        mask_tail = expand_tail_mask(mask_add, nglo, w2)
 
     operands = [q, k, v] if whole_image else [q, k, k, k, v, v, v]
     if whole_image:
@@ -278,9 +306,8 @@ def _pallas_forward_mh(
         grid = (B,)
         glo_idx = lambda b: (b, 0, 0)
         const_idx = lambda b: (0, 0, 0)
-        mask_spec = pl.BlockSpec(
-            (mx, my, wq, cols), lambda b: (0, 0, 0, 0),
-            memory_space=pltpu.VMEM,
+        comb_spec = pl.BlockSpec(
+            comb.shape, lambda b: (0,) * 5, memory_space=pltpu.VMEM
         )
         out_spec = img_spec
         lse_spec = pl.BlockSpec(
@@ -288,7 +315,8 @@ def _pallas_forward_mh(
             memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(
-            _mh_kernel_img, nglo, w2, mx, my, num_heads, has_bias, with_lse
+            _mh_kernel_img, nglo, w2, mx, my, num_heads, has_bias, with_lse,
+            class_of,
         )
     else:
         row_block = (1, 1, my, w2, C)
@@ -338,15 +366,19 @@ def _pallas_forward_mh(
             jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
             v_glo,
         ]
-    if has_bias:
-        in_specs.append(
-            pl.BlockSpec(
-                (num_heads, w2, cols), const_idx, memory_space=pltpu.VMEM
+    if whole_image:
+        in_specs.append(comb_spec)
+        operands.append(comb)
+    else:
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec(
+                    (num_heads, w2, cols), const_idx, memory_space=pltpu.VMEM
+                )
             )
-        )
-        operands.append(bias_tail)
-    in_specs.append(mask_spec)
-    operands.append(jnp.asarray(mask_tail))
+            operands.append(bias_tail)
+        in_specs.append(mask_spec)
+        operands.append(jnp.asarray(mask_tail))
 
     flops_cell = 2 * my * w2 * cols * C * 2
     kv_reads = 3 if whole_image else 7
@@ -531,6 +563,42 @@ def expand_tail_mask(mask_add: np.ndarray, nglo: int, w2: int) -> jax.Array:
     tail = np.concatenate([mask_add[..., nglo:], mask_add[..., :nglo]], axis=-1)
     tail_dev = jnp.asarray(tail, dtype=jnp.float32)
     return jnp.broadcast_to(tail_dev, (mx, my, w2, tail.shape[-1]))
+
+
+def tail_mask_classes(mask_add: np.ndarray, nglo: int):
+    """Host-side dedup of the tail-order mask over the mx axis.
+
+    The additive mask varies with the chunk-row index mx only through the
+    image-boundary pattern (exact/cyclic padding semantics) — realistic grids
+    have ≤4 DISTINCT rows. Returns ``(classes, class_of)``: classes
+    (ncls, my, Wq, 9W²+Nglo) f32 host array and a length-mx tuple of static
+    ints. The kernels' row loops are statically unrolled, so
+    ``class_of[i_row]`` indexes the class table at trace time for free —
+    the VMEM-resident table shrinks mx/ncls-fold, and combined with the RPE
+    bias (see build_comb) the per-head score adjustment becomes ONE VPU add
+    instead of two."""
+    tail = np.ascontiguousarray(
+        np.concatenate([mask_add[..., nglo:], mask_add[..., :nglo]], axis=-1),
+        dtype=np.float32,
+    )
+    classes, class_of = np.unique(tail, axis=0, return_inverse=True)
+    return classes, tuple(int(c) for c in np.asarray(class_of).ravel())
+
+
+def build_comb(classes_host: np.ndarray, bias_tail: Optional[jax.Array],
+               w2: int) -> jax.Array:
+    """Combined bias+mask row-class table (Hc, ncls, my, W², cols) f32.
+
+    ``bias_tail`` (H, W², cols) is traced (RPE params), so the add runs
+    in-jit each step — ncls·H·my·W²·cols ≈ 1.5M adds, negligible next to the
+    kernel's per-(row, head) passes it replaces. Hc = H with bias, else 1."""
+    ncls, my, wq, _cols = classes_host.shape
+    cls_dev = jnp.asarray(classes_host, dtype=jnp.float32)
+    if bias_tail is None:
+        return jnp.broadcast_to(
+            cls_dev[None], (1, ncls, my, w2, _cols)
+        )
+    return bias_tail[:, None, None] + cls_dev[None]
 
 
 def mask_to_additive(mask_bool: np.ndarray, mx: int, my: int, w2: int, nglo: int) -> np.ndarray:
