@@ -389,7 +389,10 @@ class VilAttention(nn.Module):
                     s_x, s_y = (int(s) for s in sc.MODE_ROLL_SHIFTS[int(mode)])
                 knb = sc._roll2d(k_img_m, s_x, s_y)
                 vnb = sc._roll2d(v_img_m, s_x, s_y)
-                mask_tail = vil_mode_kernel.mode_tail_mask(
+                # row-class mask table + static class_of: the whole-image
+                # mode kernels take ONE combined bias+mask table (a single
+                # VPU score add; see mode_tail_mask_classes)
+                mask_tail, mode_class_of = vil_mode_kernel.mode_tail_mask_classes(
                     mx, my, padx, pady, W, self.exact, mode, Nglo
                 )
                 bias_tail = None
@@ -410,7 +413,9 @@ class VilAttention(nn.Module):
                     else:
                         bias_tail = local_bias
                     bias_tail = bias_tail.astype(jnp.float32)
-                fused = vil_mode_kernel.make_fused_mode_attention(H)
+                fused = vil_mode_kernel.make_fused_mode_attention(
+                    H, class_of=mode_class_of
+                )
                 x1 = fused(
                     q_img, k_img_m, knb, v_img_m, vnb,
                     kg_tok if Nglo >= 1 else None,

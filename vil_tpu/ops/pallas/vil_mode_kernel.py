@@ -83,17 +83,19 @@ def _cat2(a, b, extra=None):
 
 
 def _fwd_row(nglo, num_heads, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg,
-             bias_tail, mask, out_dtype):
+             bias_tail, mask, out_dtype, lse_out=None, comb_row=None):
     k_cat = _cat2(ks, knb, kg_row)
     v_cat = _cat2(vs, vnb)
     return _attend_row(
-        q_row, k_cat, v_cat, vg, bias_tail, mask, nglo, num_heads, out_dtype
+        q_row, k_cat, v_cat, vg, bias_tail, mask, nglo, num_heads, out_dtype,
+        lse_out, comb_row,
     )
 
 
-def _fwd_kernel_row(nglo, w2, num_heads, has_bias, *refs):
+def _fwd_kernel_row(nglo, w2, num_heads, has_bias, with_lse, *refs):
     """Row-grid forward body (grid (B, mx)). refs:
-    [q, k_self, k_nb, v_self, v_nb, (kg_row, vg)?, (bias_tail)?, mask, out]."""
+    [q, k_self, k_nb, v_self, v_nb, (kg_row, vg)?, (bias_tail)?, mask, out,
+    (lse_row)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     ks_ref = refs[i]; i += 1
@@ -108,16 +110,24 @@ def _fwd_kernel_row(nglo, w2, num_heads, has_bias, *refs):
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
-    out_ref = refs[i]
+    out_ref = refs[i]; i += 1
+    lse_out = [] if with_lse else None
     out_ref[0, 0] = _fwd_row(
         nglo, num_heads, has_bias, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
         vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg, bias_tail, mask_ref[0],
-        out_ref.dtype,
+        out_ref.dtype, lse_out,
     )
+    if with_lse:
+        lse_ref = refs[i]
+        for h in range(num_heads):
+            lse_ref[0, h, 0] = lse_out[h]
 
 
-def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, *refs):
-    """Whole-image forward body (grid (B,)); rows unrolled statically."""
+def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, with_lse, class_of,
+                    *refs):
+    """Whole-image forward body (grid (B,)); rows unrolled statically.
+    With ``class_of`` the separate bias/mask refs are replaced by ONE
+    combined row-class table (see mode_tail_mask_classes / build_comb)."""
     i = 0
     q_ref = refs[i]; i += 1
     ks_ref = refs[i]; i += 1
@@ -128,23 +138,37 @@ def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, *refs):
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
         vg = refs[i][0]; i += 1
-    bias_tail = None
-    if has_bias:
-        bias_tail = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
-    out_ref = refs[i]
+    bias_tail = mask_ref = comb_ref = None
+    if class_of is not None:
+        comb_ref = refs[i]; i += 1
+    else:
+        if has_bias:
+            bias_tail = refs[i]; i += 1
+        mask_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+    lse_ref = refs[i] if with_lse else None
     for r in range(mx):
+        lse_out = [] if with_lse else None
         out_ref[0, r] = _fwd_row(
             nglo, num_heads, has_bias, q_ref[0, r], ks_ref[0, r],
             knb_ref[0, r], vs_ref[0, r], vnb_ref[0, r], kg_row, vg,
-            bias_tail, mask_ref[r], out_ref.dtype,
+            bias_tail, mask_ref[r] if mask_ref is not None else None,
+            out_ref.dtype, lse_out,
+            comb_row=None if comb_ref is None else (comb_ref, class_of[r]),
         )
+        if with_lse:
+            for h in range(num_heads):
+                lse_ref[0, h, r] = lse_out[h]
 
 
 def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
-             bias_tail, mask, g_row, outs, r):
+             bias_tail, mask, lse_ref, g_row, outs, r, comb_row=None):
     """Backward for one chunk-row. ``outs`` = (dq, dks, dknb, dvs, dvnb,
-    pg?, dsg?) refs indexed at [0, r]; returns per-head dbias list."""
+    pg?, dsg?) refs indexed at [0, r]; returns per-head dbias list.
+    ``lse_ref`` (1, H, rows, my, W²) | None: forward-stashed log-sum-exp —
+    normalized probs in one exp pass (see vil_backward._bwd_kernel_img).
+    ``comb_row`` (comb_ref, rc) | None: combined bias+mask class slab —
+    one VPU score add (see mode_tail_mask_classes)."""
     k_cat = _cat2(ks, knb, kg_row)
     v_cat = _cat2(vs, vnb, vg_row)  # global V rides the dP GEMM too
     C = q_row.shape[-1]
@@ -162,12 +186,19 @@ def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
             q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (my, W², 2W²+Nglo)
-        if has_bias:
-            scores = scores + bias_tail[h][None]
-        scores = scores + mask
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        if comb_row is not None:
+            comb_ref, rc = comb_row
+            scores = scores + comb_ref[h if comb_ref.shape[0] > 1 else 0, rc]
+        else:
+            if has_bias:
+                scores = scores + bias_tail[h][None]
+            scores = scores + mask
+        if lse_ref is not None:
+            p = jnp.exp(scores - lse_ref[0, h, r][..., None])
+        else:
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         dp = jax.lax.dot_general(
             g_h, v_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -206,7 +237,7 @@ def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
     return db
 
 
-def _split_bwd_refs(nglo, has_bias, refs):
+def _split_bwd_refs(nglo, has_bias, with_lse, with_comb, refs):
     i = 0
     q_ref = refs[i]; i += 1
     ks_ref = refs[i]; i += 1
@@ -217,30 +248,38 @@ def _split_bwd_refs(nglo, has_bias, refs):
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
         vg_row = refs[i][0]; i += 1
-    bias_tail = None
-    if has_bias:
-        bias_tail = refs[i]; i += 1
-    mask_ref = refs[i]; i += 1
+    bias_tail = mask_ref = comb_ref = None
+    if with_comb:
+        comb_ref = refs[i]; i += 1
+    else:
+        if has_bias:
+            bias_tail = refs[i]; i += 1
+        mask_ref = refs[i]; i += 1
     g_ref = refs[i]; i += 1
+    lse_ref = None
+    if with_lse:
+        lse_ref = refs[i]; i += 1
     outs = list(refs[i : i + 5]); i += 5
     outs += [refs[i], refs[i + 1]] if nglo > 0 else [None, None]
     if nglo > 0:
         i += 2
     dbias_ref = refs[i] if has_bias else None
     return (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row,
-            bias_tail, mask_ref, g_ref, tuple(outs), dbias_ref)
+            bias_tail, mask_ref, comb_ref, g_ref, lse_ref, tuple(outs),
+            dbias_ref)
 
 
-def _bwd_kernel_row(nglo, w2, H, has_bias, *refs):
+def _bwd_kernel_row(nglo, w2, H, has_bias, with_lse, *refs):
     (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
-     mask_ref, g_ref, outs, dbias_ref) = _split_bwd_refs(nglo, has_bias, refs)
+     mask_ref, _comb, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
+        nglo, has_bias, with_lse, False, refs)
     b_idx, i_idx = pl.program_id(0), pl.program_id(1)
     first = jnp.logical_and(b_idx == 0, i_idx == 0)
     # row-grid blocks are (1, 1, ...): re-point outs at row index 0
     db = _bwd_row(
         nglo, w2, H, has_bias, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
         vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg_row, bias_tail, mask_ref[0],
-        g_ref[0, 0], outs, 0,
+        lse_ref, g_ref[0, 0], outs, 0,
     )
     if has_bias:
         for h in range(H):
@@ -253,16 +292,19 @@ def _bwd_kernel_row(nglo, w2, H, has_bias, *refs):
                 dbias_ref[h] += db[h]
 
 
-def _bwd_kernel_img(nglo, w2, mx, H, has_bias, *refs):
+def _bwd_kernel_img(nglo, w2, mx, H, has_bias, with_lse, class_of, *refs):
     (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
-     mask_ref, g_ref, outs, dbias_ref) = _split_bwd_refs(nglo, has_bias, refs)
+     mask_ref, comb_ref, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
+        nglo, has_bias, with_lse, class_of is not None, refs)
     b_idx = pl.program_id(0)
     db_acc = [None] * H
     for r in range(mx):
         db = _bwd_row(
             nglo, w2, H, has_bias, q_ref[0, r], ks_ref[0, r], knb_ref[0, r],
             vs_ref[0, r], vnb_ref[0, r], kg_row, vg_row, bias_tail,
-            mask_ref[r], g_ref[0, r], outs, r,
+            mask_ref[r] if mask_ref is not None else None,
+            lse_ref, g_ref[0, r], outs, r,
+            comb_row=None if comb_ref is None else (comb_ref, class_of[r]),
         )
         if has_bias:
             for h in range(H):
@@ -278,9 +320,11 @@ def _bwd_kernel_img(nglo, w2, mx, H, has_bias, *refs):
                 dbias_ref[h] += db_acc[h]
 
 
-def _common_specs(B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H):
-    """(in_specs for [q, ks, knb, vs, vnb, (kg,vg)?, (bias)?, mask],
-    img/row spec, const3 index map)."""
+def _common_specs(B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H,
+                  comb_shape=None):
+    """(in_specs for [q, ks, knb, vs, vnb, (kg,vg)?, comb | ((bias)?, mask)],
+    img/row spec, const3 index map). ``comb_shape``: whole-image combined
+    bias+mask class table replaces the separate bias/mask specs."""
     if whole_image:
         img_spec = pl.BlockSpec(
             (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
@@ -309,11 +353,17 @@ def _common_specs(B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H):
             (1, my, nglo, C), glo_idx, memory_space=pltpu.VMEM
         )
         in_specs += [glo_spec, glo_spec]
-    if has_bias:
+    if comb_shape is not None:
         in_specs.append(
-            pl.BlockSpec((H, w2, cols), const3, memory_space=pltpu.VMEM)
+            pl.BlockSpec(comb_shape, lambda b: (0,) * 5,
+                         memory_space=pltpu.VMEM)
         )
-    in_specs.append(mask_spec)
+    else:
+        if has_bias:
+            in_specs.append(
+                pl.BlockSpec((H, w2, cols), const3, memory_space=pltpu.VMEM)
+            )
+        in_specs.append(mask_spec)
     return in_specs, img_spec, const3
 
 
@@ -344,12 +394,55 @@ def mode_tail_mask(mx, my, padx, pady, w, exact, mode, nglo):
     return jnp.broadcast_to(sel, (mx, my, w2, 2 * w2 + nglo))
 
 
+def mode_tail_mask_classes(mx, my, padx, pady, w, exact, mode, nglo):
+    """Row-class variant of mode_tail_mask for the whole-image kernels.
+
+    Returns ``(classes_sel, class_of)``: classes_sel (ncls, my, 1, cols) f32
+    device array — the ≤4 distinct chunk-row mask slabs, gathered from an
+    8-stack when ``mode`` is traced — and class_of, a length-mx tuple of
+    STATIC ints. The row partition is computed across ALL 8 modes jointly
+    (rows share a class iff their masks agree for every mode), so a single
+    static class_of serves every sampled mode under one compilation. The
+    whole-image kernels' statically-unrolled row loops index the class table
+    at trace time; combined with the RPE bias (vil_kernel.build_comb) the
+    per-head score adjustment is ONE VPU add."""
+    from .. import masks as masks_lib
+
+    w2 = w * w
+
+    def to_add(tbl):
+        add = np.where(tbl, _NEG_INF, 0.0).astype(np.float32)
+        add = add.reshape(add.shape[:-2] + (mx, my, 1, 2 * w2))
+        if nglo > 0:
+            zeros = np.zeros(add.shape[:-1] + (nglo,), np.float32)
+            add = np.concatenate([add, zeros], axis=-1)
+        return add
+
+    all_add = to_add(masks_lib.all_mode_masks(mx, my, padx, pady, w, exact))
+    # per-row fingerprint across all 8 modes → one static partition
+    fp = all_add.transpose(1, 0, 2, 3, 4).reshape(mx, -1)
+    _, rep_idx, class_of = np.unique(
+        fp, axis=0, return_index=True, return_inverse=True
+    )
+    classes_all = all_add[:, rep_idx]  # (8, ncls, my, 1, cols)
+    if isinstance(mode, (int, np.integer)):
+        sel = jnp.asarray(classes_all[int(mode) - 1])
+    else:
+        sel = jnp.asarray(classes_all)[mode - 1]
+    return sel, tuple(int(c) for c in np.asarray(class_of).ravel())
+
+
 def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
-                 num_heads, *, interpret=None):
+                 num_heads, *, interpret=None, with_lse=False,
+                 class_of=None):
     """Fused sampled-mode forward. q/ks/knb/vs/vnb: (B, mx, my, W², C);
     k_glo/v_glo (B, Nglo, C) | None; bias_tail (H, W², 2W²+Nglo) f32 | None
     (TAIL order [self ‖ nb ‖ glo], may be traced); mask_tail
-    (mx, my, W², 2W²+Nglo) f32 additive device array."""
+    (mx, my, W², 2W²+Nglo) f32 additive device array — or, with
+    ``class_of`` (static row-class tuple from mode_tail_mask_classes), the
+    (ncls, my, 1, cols) class table. With ``with_lse`` returns (out, lse),
+    lse (B, H, mx, my, W²) f32 — the per-query log-sum-exp consumed by
+    mode_backward."""
     B, mx, my, w2, C = q.shape
     nglo = 0 if k_glo is None else k_glo.shape[1]
     has_bias = bias_tail is not None
@@ -357,17 +450,34 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     if interpret is None:
         interpret = INTERPRET
 
+    tab_bytes = (
+        (num_heads if has_bias else 1) * mask_tail.shape[0] * my * w2 * cols * 4
+        if class_of is not None else mx * my * w2 * cols * 4
+    )
     # the mx·H·(live f32 score temps) term counts fully: Mosaic's scoped
     # stack does not reuse slots across the statically-unrolled iterations
     # (see vil_backward.vil_attention_backward)
     img_bytes = (
         mx * num_heads * 3 * my * w2 * cols * 4
         + 6 * 2 * (q.size // B) * q.dtype.itemsize
-        + mx * my * w2 * cols * 4
+        + tab_bytes
     )
     whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+    use_comb = class_of is not None and whole_image
+    comb = None
+    if use_comb:
+        from .vil_kernel import build_comb
+
+        comb = build_comb(mask_tail, bias_tail, w2)
+    elif class_of is not None:
+        # row-grid fallback indexes mask blocks by the traced grid row —
+        # reconstruct the full (mx, my, W², cols) table from the classes
+        mask_tail = jnp.broadcast_to(
+            mask_tail[np.asarray(class_of)], (mx, my, w2, cols)
+        )
     in_specs, img_spec, const3 = _common_specs(
-        B, mx, my, w2, C, nglo, has_bias, cols, whole_image, num_heads
+        B, mx, my, w2, C, nglo, has_bias, cols, whole_image, num_heads,
+        comb_shape=comb.shape if use_comb else None,
     )
     operands = [q, ks, knb, vs, vnb]
     if nglo > 0:
@@ -386,21 +496,42 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
             (lambda b: (b, 0, 0)) if whole_image else (lambda b, i: (b, 0, 0)),
             memory_space=pltpu.VMEM,
         )
-    if has_bias:
-        operands.append(bias_tail)
-    operands.append(mask_tail)
+    if use_comb:
+        operands.append(comb)
+    else:
+        if has_bias:
+            operands.append(bias_tail)
+        operands.append(mask_tail)
 
     kernel = (
-        functools.partial(_fwd_kernel_img, nglo, w2, mx, num_heads, has_bias)
+        functools.partial(
+            _fwd_kernel_img, nglo, w2, mx, num_heads, has_bias, with_lse,
+            class_of if use_comb else None)
         if whole_image
-        else functools.partial(_fwd_kernel_row, nglo, w2, num_heads, has_bias)
+        else functools.partial(
+            _fwd_kernel_row, nglo, w2, num_heads, has_bias, with_lse)
     )
+    out_specs = img_spec
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if with_lse:
+        lse_spec = pl.BlockSpec(
+            (1, num_heads, mx, my, w2) if whole_image
+            else (1, num_heads, 1, my, w2),
+            (lambda b: (b, 0, 0, 0, 0)) if whole_image
+            else (lambda b, i: (b, 0, i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        out_specs = [out_specs, lse_spec]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, num_heads, mx, my, w2), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(B,) if whole_image else (B, mx),
         in_specs=in_specs,
-        out_specs=img_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -409,9 +540,11 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
 
 
 def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
-                  g, num_heads, *, interpret=None):
+                  g, num_heads, *, lse=None, interpret=None, class_of=None):
     """Fused sampled-mode backward. Returns
-    (dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias_tail)."""
+    (dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias_tail). ``lse`` is the
+    forward-stashed log-sum-exp (see mode_forward with_lse); ``class_of``/
+    class-table ``mask_tail`` as in mode_forward."""
     B, mx, my, w2, C = q.shape
     H = num_heads
     nglo = 0 if k_glo is None else k_glo.shape[1]
@@ -420,14 +553,29 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     if interpret is None:
         interpret = INTERPRET
 
+    tab_bytes = (
+        (H if has_bias else 1) * mask_tail.shape[0] * my * w2 * cols * 4
+        if class_of is not None else mx * my * w2 * cols * 4
+    )
     img_bytes = (
         mx * H * 6 * my * w2 * cols * 4  # unrolled-iteration f32 stack
         + 11 * 2 * (q.size // B) * q.dtype.itemsize
-        + mx * my * w2 * cols * 4
+        + tab_bytes
     )
     whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+    use_comb = class_of is not None and whole_image
+    comb = None
+    if use_comb:
+        from .vil_kernel import build_comb
+
+        comb = build_comb(mask_tail, bias_tail, w2)
+    elif class_of is not None:
+        mask_tail = jnp.broadcast_to(
+            mask_tail[np.asarray(class_of)], (mx, my, w2, cols)
+        )
     in_specs, img_spec, const3 = _common_specs(
-        B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H
+        B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H,
+        comb_shape=comb.shape if use_comb else None,
     )
     in_specs.append(img_spec)  # g
     operands = [q, ks, knb, vs, vnb]
@@ -436,10 +584,23 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
             jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
             jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
-    if has_bias:
-        operands.append(bias_tail)
-    operands.append(mask_tail)
+    if use_comb:
+        operands.append(comb)
+    else:
+        if has_bias:
+            operands.append(bias_tail)
+        operands.append(mask_tail)
     operands.append(g)
+    if lse is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, H, mx, my, w2) if whole_image else (1, H, 1, my, w2),
+                (lambda b: (b, 0, 0, 0, 0)) if whole_image
+                else (lambda b, i: (b, 0, i, 0, 0)),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(lse)
 
     out_specs = [img_spec] * 5
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(5)]
@@ -465,9 +626,12 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
         out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
 
     kernel = (
-        functools.partial(_bwd_kernel_img, nglo, w2, mx, H, has_bias)
+        functools.partial(
+            _bwd_kernel_img, nglo, w2, mx, H, has_bias, lse is not None,
+            class_of if use_comb else None)
         if whole_image
-        else functools.partial(_bwd_kernel_row, nglo, w2, H, has_bias)
+        else functools.partial(
+            _bwd_kernel_row, nglo, w2, H, has_bias, lse is not None)
     )
     results = pl.pallas_call(
         kernel,
@@ -491,30 +655,39 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     return dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias
 
 
-def make_fused_mode_attention(num_heads: int):
+def make_fused_mode_attention(num_heads: int, class_of=None):
     """custom_vjp wrapper: fused(q, ks, knb, vs, vnb, kg, vg, bias_tail,
     mask_tail) → (B, mx, my, W², C).
 
     bias_tail/mask_tail are TAIL-order ([self ‖ nb ‖ glo]) and may be traced
     (per-mode gathers) — bias is differentiable (RPE table), mask gets a
-    symbolic-zero gradient. The k_nb/v_nb inputs are the PRE-ROLLED sampled
-    blocks; taking them as custom_vjp inputs makes XLA derive the inverse
-    roll for dK/dV automatically."""
+    symbolic-zero gradient. With ``class_of`` the mask_tail argument is the
+    (ncls, my, 1, cols) row-class table from mode_tail_mask_classes. The
+    k_nb/v_nb inputs are the PRE-ROLLED sampled blocks; taking them as
+    custom_vjp inputs makes XLA derive the inverse roll for dK/dV
+    automatically."""
 
     @jax.custom_vjp
     def fused(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail):
         return mode_forward(
-            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, num_heads
+            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, num_heads,
+            class_of=class_of,
         )
 
     def fwd(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail):
-        out = fused(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail)
-        return out, (q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail)
+        # train-path forward stashes the per-query log-sum-exp so the
+        # backward recomputes normalized probs in one exp pass
+        out, lse = mode_forward(
+            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, num_heads,
+            with_lse=True, class_of=class_of,
+        )
+        return out, (q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, lse)
 
     def bwd(res, g):
-        q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail = res
+        q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, lse = res
         dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias = mode_backward(
-            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, g, num_heads
+            q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, g, num_heads,
+            lse=lse, class_of=class_of,
         )
         return (
             dq, dks, dknb, dvs, dvnb,
