@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--bias", action="store_true", help="include an RPE bias")
     ap.add_argument("--wide", choices=["auto", "on", "off"], default="auto",
                     help="force the wide dK/dV GEMM variant")
+    ap.add_argument("--pair", choices=["auto", "on", "off"], default="auto",
+                    help="force head-pair GEMM merging")
     ap.add_argument("--tile-t", type=int, default=0,
                     help="rows per tile for the tiled variant (0 = auto)")
     args = ap.parse_args()
@@ -40,6 +42,8 @@ def main():
 
     if args.wide != "auto":
         vil_backward.WIDE_DKDV = args.wide == "on"
+    if args.pair != "auto":
+        vil_backward.PAIR_HEADS = args.pair == "on"
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

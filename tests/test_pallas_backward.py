@@ -16,7 +16,9 @@ def _interpret(monkeypatch):
 
 @pytest.mark.parametrize("variant", ["whole_image", "two_pass", "tiled"])
 @pytest.mark.parametrize(
-    "nglo,with_bias,H,mx,my", [(1, True, 2, 3, 3), (0, False, 1, 3, 4), (2, True, 2, 4, 3)]
+    "nglo,with_bias,H,mx,my",
+    [(1, True, 2, 3, 3), (0, False, 1, 3, 4), (2, True, 2, 4, 3),
+     (1, True, 3, 3, 3)],  # H=3: head pair + trailing singleton group
 )
 def test_backward_matches_xla_vjp(monkeypatch, variant, nglo, with_bias, H, mx, my):
     # force the fused whole-image variant or the two-pass fallback

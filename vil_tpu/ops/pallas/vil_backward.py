@@ -71,6 +71,63 @@ WIDE_DKDV = None
 # rows per tile (must divide mx). None = automatic selection by VMEM fit.
 FORCE_TILE_T = None
 
+# head-PAIR GEMM merging in the fused kernels. The per-head GEMMs contract
+# K = W² = 49 (dK/dV) or K = M = 32 (scores/dP) with N = 32 — under 10% of a
+# 128×128 MXU tile. Processing two heads at once with a block-diagonal
+# stacked operand (rows 2W², lanes 2M — zeros separate the heads) doubles K
+# and N: half the MXU macro-passes for even-H stages at 2× the (mostly
+# padding) MACs. None = auto (pair whenever 2·M ≤ 128 lanes and H ≥ 2);
+# True/False force one variant for A/B timing.
+PAIR_HEADS = None
+
+
+def _head_groups(H: int, M: int):
+    """Static head-processing groups: pairs (+ a trailing singleton when H
+    is odd) under PAIR_HEADS auto/True, else one group per head."""
+    pair = PAIR_HEADS
+    if pair is None:
+        pair = H >= 2 and 2 * M <= 128
+    if not pair:
+        return tuple((h,) for h in range(H))
+    groups = [(h, h + 1) for h in range(0, H - 1, 2)]
+    if H % 2:
+        groups.append((H - 1,))
+    return tuple(groups)
+
+
+def _stack_bd(x, M: int):
+    """(my, W², 2M) → block-diagonal (my, 2W², 2M): row block j keeps lane
+    block j, zeros elsewhere — the merged-pair GEMM operand."""
+    z = jnp.zeros(x.shape[:2] + (M,), x.dtype)
+    top = jnp.concatenate([x[..., :M], z], axis=-1)
+    bot = jnp.concatenate([z, x[..., M:]], axis=-1)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+def pair_comb_tables(comb, groups, H: int):
+    """Pre-stack the combined bias+mask class table per head-group.
+
+    ``comb`` (Hc, ncls, my, W², cols) from vil_kernel.build_comb. Returns the
+    kernel's table operands in group order: a pair table (Pc, ncls, my, 2W²,
+    cols) — the two heads' rows stacked on the query axis, matching the
+    merged GEMM's head-major row blocks — when pairs exist (+ a singleton
+    table for a trailing odd head), else just ``comb``."""
+    n_pair = sum(1 for g_ in groups if len(g_) == 2)
+    tables = []
+    if n_pair:
+        if comb.shape[0] == 1:
+            tables.append(jnp.concatenate([comb, comb], axis=3))
+        else:
+            tables.append(jnp.stack([
+                jnp.concatenate([comb[g_[0]], comb[g_[1]]], axis=2)
+                for g_ in groups if len(g_) == 2
+            ]))
+        if H % 2:  # trailing odd head keeps a singleton table
+            tables.append(comb if comb.shape[0] == 1 else comb[H - 1:])
+    else:
+        tables.append(comb)
+    return tables
+
 
 def _roll0(r, s):
     """Static cyclic roll along axis 0: out[c] = r[(c+s) % n]."""
@@ -89,15 +146,24 @@ def _nbh(rows, my):
     return jnp.concatenate(parts, axis=1)
 
 
-def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
+def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
+                    class_of, *refs):
     """Fused whole-image backward (grid (B,)). refs:
-    [q, k, v, g, (kg_row, vg_row)?, comb | ((bias_tail)?, mask_tail), (lse)?,
-     dq, dk, dv, (pg_out, dsg_out)?, (dbias_tail)?].
+    [q, k, v, g, (kg_row, vg_row)?, comb-tables | ((bias_tail)?, mask_tail),
+     (lse)?, dq, dk, dv, (dkg, dvg)?, (dbias_tail)?].
 
     ``class_of`` (length-mx tuple of static ints): when present, the bias and
-    mask inputs are replaced by ONE combined row-class table (Hc, ncls, my,
-    W², cols) — see vil_kernel.build_comb — and the per-head score
-    adjustment is a single VPU add.
+    mask inputs are replaced by combined row-class tables — see
+    vil_kernel.build_comb — and the per-group score adjustment is a single
+    VPU add. With head PAIRS in ``groups`` the tables arrive pre-stacked:
+    ``combp`` (Pc, ncls, my, 2W², cols) for the pairs (+ ``combs`` for a
+    trailing odd head); without pairing just ``combs`` = (Hc, ncls, ...).
+
+    ``groups`` (static tuple of 1- or 2-head tuples, see _head_groups):
+    pairs are processed through ONE set of merged GEMMs with block-diagonal
+    stacked operands (_stack_bd) — rows 2W², contraction/lane widths 2M —
+    which halves the MXU macro-passes of the K=49/N=32-starved per-head
+    GEMMs; the zero blocks keep the heads' sums separated exactly.
 
     kg_row/vg_row are the global K/V rows pre-broadcast over my XLA-side
     ((1, my, Nglo, C) — in-kernel broadcast lowers to an unsupported Mosaic
@@ -107,6 +173,8 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
     in the same tail order. dK/dV accumulate in f32 VMEM values across the
     statically-unrolled row loop; dbias accumulates across the batch grid in
     a constant-index output block."""
+    n_pair = sum(1 for grp in groups if len(grp) == 2)
+    n_single = sum(1 for grp in groups if len(grp) == 1)
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
@@ -116,9 +184,12 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
         vg_row = refs[i][0]; i += 1
-    bias_tail = mask_ref = comb_ref = None
+    bias_tail = mask_ref = combp_ref = combs_ref = None
     if class_of is not None:
-        comb_ref = refs[i]; i += 1
+        if n_pair:
+            combp_ref = refs[i]; i += 1
+        if n_single:
+            combs_ref = refs[i]; i += 1
     else:
         if has_bias:
             bias_tail = refs[i]; i += 1
@@ -141,18 +212,29 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
     C = q_ref.shape[-1]
     M = C // H
     nloc = 9 * w2
+    nG = len(groups)
 
     from .vil_kernel import _nbh_rows
 
-    dk_acc = [[None] * H for _ in range(mx)]
-    dv_acc = [[None] * H for _ in range(mx)]
+    dk_acc = [[None] * nG for _ in range(mx)]
+    dv_acc = [[None] * nG for _ in range(mx)]
     db_acc = [None] * H
     # dK_glo/dV_glo accumulate IN-KERNEL (r2): the former pg/dS_glo HBM
     # outputs fed XLA einsums whose batch-minor reduce layouts materialized
     # f32 relayout copies of the whole q/g tensors (~1.4 ms/step at stage 1,
     # train profile copy.834/copy.993 class)
-    dkg_acc = [[None] * H for _ in range(nglo)]
-    dvg_acc = [[None] * H for _ in range(nglo)]
+    dkg_acc = [[None] * nG for _ in range(nglo)]
+    dvg_acc = [[None] * nG for _ in range(nglo)]
+
+    # pair-stacked bias rows, hoisted out of the row loop (mask path only —
+    # the comb tables arrive pre-stacked)
+    bias_grp = [None] * nG
+    if bias_tail is not None:
+        for gidx, grp in enumerate(groups):
+            bias_grp[gidx] = (
+                jnp.concatenate([bias_tail[grp[0]], bias_tail[grp[1]]], axis=0)
+                if len(grp) == 2 else bias_tail[grp[0]]
+            )
 
     for i_row in range(mx):
         k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
@@ -161,71 +243,104 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
         v_nbh = _nbh_rows(v_rows, my, vg_row)
         q_row = q_ref[0, i_row]  # (my, W², C)
         g_row = g_ref[0, i_row]
+        mask = mask2 = None
         if mask_ref is not None:
             mask = mask_ref[i_row]  # (my, W², 9W²+Nglo) f32, tail order
-        for h in range(H):
-            hs = h * M
-            q_h = q_row[..., hs : hs + M]
-            k_h = k_nbh[..., hs : hs + M].astype(q_h.dtype)
-            v_h = v_nbh[..., hs : hs + M].astype(q_h.dtype)
-            g_h = g_row[..., hs : hs + M]
+            if n_pair:
+                mask2 = jnp.concatenate([mask, mask], axis=1)
+        for gidx, grp in enumerate(groups):
+            G = len(grp)
+            hs = grp[0] * M
+            gm = G * M
+            q_g = q_row[..., hs : hs + gm]
+            k_g = k_nbh[..., hs : hs + gm].astype(q_g.dtype)
+            v_g = v_nbh[..., hs : hs + gm].astype(q_g.dtype)
+            g_g = g_row[..., hs : hs + gm]
+            if G == 2:
+                q_in = _stack_bd(q_g, M)  # (my, 2W², 2M) block-diagonal
+                g_in = _stack_bd(g_g, M)
+            else:
+                q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
-                q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+                q_in, k_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # (my, W², cols)
-            if comb_ref is not None:
+            )  # (my, G·W², cols)
+            if class_of is not None:
                 # combined bias+mask class table: one add (vil_kernel
                 # build_comb); rc static via the unrolled row loop
-                scores = scores + comb_ref[
-                    h if comb_ref.shape[0] > 1 else 0, class_of[i_row]
-                ]
+                if G == 2:
+                    scores = scores + combp_ref[
+                        gidx if combp_ref.shape[0] > 1 else 0,
+                        class_of[i_row],
+                    ]
+                else:
+                    # singleton-group index: equals grp[0] when pairing is
+                    # off (full table), else 0 (one trailing odd head)
+                    scores = scores + combs_ref[
+                        grp[0] if combs_ref.shape[0] > 1 else 0,
+                        class_of[i_row],
+                    ]
             else:
-                if has_bias:
-                    scores = scores + bias_tail[h][None]
-                scores = scores + mask
+                if bias_tail is not None:
+                    scores = scores + bias_grp[gidx][None]
+                scores = scores + (mask2 if G == 2 else mask)
             if lse_ref is not None:
                 # forward-stashed log-sum-exp: normalized probs in ONE exp
                 # pass (the max/sum/divide recompute is skipped; masked
                 # columns still underflow exp to exactly 0)
-                p = jnp.exp(scores - lse_ref[0, h, i_row][..., None])
+                if G == 2:
+                    lse_row = jnp.concatenate(
+                        [lse_ref[0, grp[0], i_row], lse_ref[0, grp[1], i_row]],
+                        axis=1,
+                    )  # (my, 2W²), head-major rows like the scores
+                else:
+                    lse_row = lse_ref[0, grp[0], i_row]
+                p = jnp.exp(scores - lse_row[..., None])
             else:
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
                 p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             dp = jax.lax.dot_general(
-                g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+                g_in, v_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # (my, W², cols) — global columns included (vg in the concat)
+            )  # (my, G·W², cols) — global columns included (vg in the concat)
             delta = jnp.sum(dp * p, axis=-1, keepdims=True)
             ds = p * (dp - delta)
-            ds_c = ds.astype(q_h.dtype)
-            # dQ = dS · [K_nbh ‖ kg] in ONE GEMM (global term included)
-            dq_h = jax.lax.dot_general(
-                ds_c, k_h, (((2,), (1,)), ((0,), (0,))),
+            ds_c = ds.astype(q_g.dtype)
+            # dQ = dS · [K_nbh ‖ kg] in ONE GEMM (global term included);
+            # for a pair the off-diagonal lane blocks are cross-head garbage
+            # and only the diagonal (row block j, lane block j) is written
+            dq_out = jax.lax.dot_general(
+                ds_c, k_g, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+            )  # (my, G·W², G·M)
+            for j, h in enumerate(grp):
+                dq_ref[0, i_row, :, :, h * M : (h + 1) * M] = dq_out[
+                    :, j * w2 : (j + 1) * w2, j * M : (j + 1) * M
+                ].astype(dq_ref.dtype)
             if has_bias:
-                db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
-                db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
-            p_c = p.astype(q_h.dtype)
+                db = jnp.sum(ds, axis=0)  # (G·W², cols) f32, tail order
+                for j, h in enumerate(grp):
+                    dbj = db[j * w2 : (j + 1) * w2]
+                    db_acc[h] = dbj if db_acc[h] is None else db_acc[h] + dbj
+            p_c = p.astype(q_g.dtype)
             # transposed per-block contributions: query row i's block
             # (dx, dy) feeds dK/dV row (i+dx) with column roll −dy. ONE wide
-            # (my, 9W²+Nglo, M) GEMM per tensor (9 separate 49-row GEMMs
+            # (my, 9W²+Nglo, G·M) GEMM per tensor (9 separate 49-row GEMMs
             # waste ~60% of each 128-row MXU tile), then static sublane
             # slices. The GLOBAL columns ride the SAME GEMMs: output area
             # grows by Nglo/9W² (~0.2%) and dK_glo/dV_glo become a (my, M)
             # slice + reduce — the per-glo-column VPU broadcast-mul-reduce
             # alternative ((my, W², 1)-shaped, 1/128-lane) measured +0.8 ms
             # on the stage-1 kernel (6.47 vs 5.69 ms).
-            wide = WIDE_DKDV if WIDE_DKDV is not None else True
+            wide = G == 2 or (WIDE_DKDV if WIDE_DKDV is not None else True)
             if wide:
                 dk_wide = jax.lax.dot_general(
-                    ds_c, q_h, (((1,), (1,)), ((0,), (0,))),
+                    ds_c, q_in, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                )  # (my, 9W²+Nglo, M)
+                )  # (my, 9W²+Nglo, G·M) — block-diag q_in separates heads
                 dv_wide = jax.lax.dot_general(
-                    p_c, g_h, (((1,), (1,)), ((0,), (0,))),
+                    p_c, g_in, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
                 for gi in range(nglo):
@@ -236,37 +351,37 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
                     g0 = nloc + gi
                     dkg_c = jnp.sum(
                         dk_wide[:, g0 : g0 + 1, :], axis=0
-                    )  # (1, M)
+                    )  # (1, G·M)
                     dvg_c = jnp.sum(dv_wide[:, g0 : g0 + 1, :], axis=0)
-                    dkg_acc[gi][h] = (
-                        dkg_c if dkg_acc[gi][h] is None
-                        else dkg_acc[gi][h] + dkg_c
+                    dkg_acc[gi][gidx] = (
+                        dkg_c if dkg_acc[gi][gidx] is None
+                        else dkg_acc[gi][gidx] + dkg_c
                     )
-                    dvg_acc[gi][h] = (
-                        dvg_c if dvg_acc[gi][h] is None
-                        else dvg_acc[gi][h] + dvg_c
+                    dvg_acc[gi][gidx] = (
+                        dvg_c if dvg_acc[gi][gidx] is None
+                        else dvg_acc[gi][gidx] + dvg_c
                     )
             else:
                 for gi in range(nglo):
                     gcol = nloc + gi
                     # A/B fallback: per-glo-column broadcast-mul-reduce
                     dkg_c = jnp.sum(
-                        ds[..., gcol : gcol + 1] * q_h.astype(jnp.float32),
+                        ds[..., gcol : gcol + 1] * q_g.astype(jnp.float32),
                         axis=0,
                     )
                     dkg_c = jnp.sum(dkg_c, axis=0, keepdims=True)  # (1, M)
                     dvg_c = jnp.sum(
-                        p[..., gcol : gcol + 1] * g_h.astype(jnp.float32),
+                        p[..., gcol : gcol + 1] * g_g.astype(jnp.float32),
                         axis=0,
                     )
                     dvg_c = jnp.sum(dvg_c, axis=0, keepdims=True)
-                    dkg_acc[gi][h] = (
-                        dkg_c if dkg_acc[gi][h] is None
-                        else dkg_acc[gi][h] + dkg_c
+                    dkg_acc[gi][gidx] = (
+                        dkg_c if dkg_acc[gi][gidx] is None
+                        else dkg_acc[gi][gidx] + dkg_c
                     )
-                    dvg_acc[gi][h] = (
-                        dvg_c if dvg_acc[gi][h] is None
-                        else dvg_acc[gi][h] + dvg_c
+                    dvg_acc[gi][gidx] = (
+                        dvg_c if dvg_acc[gi][gidx] is None
+                        else dvg_acc[gi][gidx] + dvg_c
                     )
             for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
                 c0 = bi * w2
@@ -275,12 +390,12 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
                     dv_c = dv_wide[:, c0 : c0 + w2, :]
                 else:
                     dk_c = jax.lax.dot_general(
-                        ds_c[:, :, c0 : c0 + w2], q_h,
+                        ds_c[:, :, c0 : c0 + w2], q_g,
                         (((1,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     )  # (my, W², M)
                     dv_c = jax.lax.dot_general(
-                        p_c[:, :, c0 : c0 + w2], g_h,
+                        p_c[:, :, c0 : c0 + w2], g_g,
                         (((1,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     )
@@ -288,8 +403,12 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, has_bias, with_lse, class_of, *refs):
                     dk_c = _roll0(dk_c, -dy)
                     dv_c = _roll0(dv_c, -dy)
                 r = (i_row + dx) % mx
-                dk_acc[r][h] = dk_c if dk_acc[r][h] is None else dk_acc[r][h] + dk_c
-                dv_acc[r][h] = dv_c if dv_acc[r][h] is None else dv_acc[r][h] + dv_c
+                dk_acc[r][gidx] = (
+                    dk_c if dk_acc[r][gidx] is None else dk_acc[r][gidx] + dk_c
+                )
+                dv_acc[r][gidx] = (
+                    dv_c if dv_acc[r][gidx] is None else dv_acc[r][gidx] + dv_c
+                )
 
     for r in range(mx):
         dk_ref[0, r] = jnp.concatenate(
@@ -479,6 +598,8 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
     # combined bias+mask row-class table (one in-kernel add, see build_comb)
     classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
     comb = build_comb(classes_host, bias_tail, w2)
+    groups = _head_groups(H, C // H)
+    comb_tables = pair_comb_tables(comb, groups, H)
 
     img_block = (1, mx, my, w2, C)
     img_spec = pl.BlockSpec(
@@ -496,10 +617,12 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
             jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
             jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
-    in_specs.append(
-        pl.BlockSpec(comb.shape, lambda b: (0,) * 5, memory_space=pltpu.VMEM)
-    )
-    operands.append(comb)
+    for tbl in comb_tables:
+        in_specs.append(
+            pl.BlockSpec(tbl.shape, lambda b: (0,) * 5,
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(tbl)
     if lse is not None:
         in_specs.append(
             pl.BlockSpec((1, H, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
@@ -530,8 +653,8 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
         out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
 
     results = pl.pallas_call(
-        functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, has_bias,
-                          lse is not None, class_of),
+        functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, groups,
+                          has_bias, lse is not None, class_of),
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -558,7 +681,7 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
     return dq, dk, dv, dkg, dvg, dbias
 
 
-def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, with_lse, *refs):
+def _bwd_kernel_tiled(nglo, w2, T, my, H, groups, has_bias, with_lse, *refs):
     """Super-row tiled fused backward (grid (B, n_tiles)) for images whose
     whole-image VMEM estimate exceeds the budget (e.g. 14×14-chunk 384²
     stage-1 grids). Identical math to _bwd_kernel_img, but each grid step
@@ -602,6 +725,8 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, with_lse, *refs):
     C = q_ref.shape[-1]
     M = C // H
     nloc = 9 * w2
+    nG = len(groups)
+    n_pair = sum(1 for grp in groups if len(grp) == 2)
 
     from .vil_kernel import _nbh_rows
 
@@ -613,11 +738,20 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, with_lse, *refs):
             return refs3[2][0, j - T]
         return refs3[1][0, j]
 
-    dk_acc = [[None] * H for _ in range(T + 2)]
-    dv_acc = [[None] * H for _ in range(T + 2)]
+    dk_acc = [[None] * nG for _ in range(T + 2)]
+    dv_acc = [[None] * nG for _ in range(T + 2)]
     db_acc = [None] * H
-    dkg_acc = [[None] * H for _ in range(nglo)]
-    dvg_acc = [[None] * H for _ in range(nglo)]
+    dkg_acc = [[None] * nG for _ in range(nglo)]
+    dvg_acc = [[None] * nG for _ in range(nglo)]
+
+    # pair-stacked bias rows, hoisted out of the row loop
+    bias_grp = [None] * nG
+    if has_bias:
+        for gidx, grp in enumerate(groups):
+            bias_grp[gidx] = (
+                jnp.concatenate([bias_tail[grp[0]], bias_tail[grp[1]]], axis=0)
+                if len(grp) == 2 else bias_tail[grp[0]]
+            )
 
     for i_row in range(T):
         k_rows = [kv_row(k_refs, i_row + dx) for dx in (-1, 0, 1)]
@@ -627,63 +761,85 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, with_lse, *refs):
         q_row = q_ref[0, i_row]  # (my, W², C)
         g_row = g_ref[0, i_row]
         mask = mask_ref[i_row]  # (my, W², 9W²+Nglo) f32, tail order
-        for h in range(H):
-            hs = h * M
-            q_h = q_row[..., hs : hs + M]
-            k_h = k_nbh[..., hs : hs + M].astype(q_h.dtype)
-            v_h = v_nbh[..., hs : hs + M].astype(q_h.dtype)
-            g_h = g_row[..., hs : hs + M]
+        mask2 = jnp.concatenate([mask, mask], axis=1) if n_pair else None
+        for gidx, grp in enumerate(groups):
+            G = len(grp)
+            hs = grp[0] * M
+            gm = G * M
+            q_g = q_row[..., hs : hs + gm]
+            k_g = k_nbh[..., hs : hs + gm].astype(q_g.dtype)
+            v_g = v_nbh[..., hs : hs + gm].astype(q_g.dtype)
+            g_g = g_row[..., hs : hs + gm]
+            if G == 2:
+                q_in = _stack_bd(q_g, M)  # (my, 2W², 2M) block-diagonal
+                g_in = _stack_bd(g_g, M)
+            else:
+                q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
-                q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+                q_in, k_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # (my, W², cols)
+            )  # (my, G·W², cols)
             if has_bias:
-                scores = scores + bias_tail[h][None]
-            scores = scores + mask
+                scores = scores + bias_grp[gidx][None]
+            scores = scores + (mask2 if G == 2 else mask)
             if lse_ref is not None:
                 # forward-stashed log-sum-exp (see _bwd_kernel_img)
-                p = jnp.exp(scores - lse_ref[0, h, i_row][..., None])
+                if G == 2:
+                    lse_row = jnp.concatenate(
+                        [lse_ref[0, grp[0], i_row], lse_ref[0, grp[1], i_row]],
+                        axis=1,
+                    )
+                else:
+                    lse_row = lse_ref[0, grp[0], i_row]
+                p = jnp.exp(scores - lse_row[..., None])
             else:
                 m = jnp.max(scores, axis=-1, keepdims=True)
                 e = jnp.exp(scores - m)
                 p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
             dp = jax.lax.dot_general(
-                g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+                g_in, v_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             delta = jnp.sum(dp * p, axis=-1, keepdims=True)
             ds = p * (dp - delta)
-            ds_c = ds.astype(q_h.dtype)
-            dq_h = jax.lax.dot_general(
-                ds_c, k_h, (((2,), (1,)), ((0,), (0,))),
+            ds_c = ds.astype(q_g.dtype)
+            dq_out = jax.lax.dot_general(
+                ds_c, k_g, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )
-            dq_ref[0, i_row, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+            )  # (my, G·W², G·M): diagonal blocks only (see _bwd_kernel_img)
+            for j, h in enumerate(grp):
+                dq_ref[0, i_row, :, :, h * M : (h + 1) * M] = dq_out[
+                    :, j * w2 : (j + 1) * w2, j * M : (j + 1) * M
+                ].astype(dq_ref.dtype)
             if has_bias:
-                db = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
-                db_acc[h] = db if db_acc[h] is None else db_acc[h] + db
-            p_c = p.astype(q_h.dtype)
-            # wide (my, 9W²+Nglo, M) transposed-contribution GEMMs + static
+                db = jnp.sum(ds, axis=0)  # (G·W², cols) f32, tail order
+                for j, h in enumerate(grp):
+                    dbj = db[j * w2 : (j + 1) * w2]
+                    db_acc[h] = dbj if db_acc[h] is None else db_acc[h] + dbj
+            p_c = p.astype(q_g.dtype)
+            # wide (my, 9W²+Nglo, G·M) transposed-contribution GEMMs + static
             # sublane slices; the global columns ride the same GEMMs (same
             # rationale as the whole-image kernel)
             dk_wide = jax.lax.dot_general(
-                ds_c, q_h, (((1,), (1,)), ((0,), (0,))),
+                ds_c, q_in, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             dv_wide = jax.lax.dot_general(
-                p_c, g_h, (((1,), (1,)), ((0,), (0,))),
+                p_c, g_in, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
             for gi in range(nglo):
                 # 3-D slice + major-axis reduce (see whole-image kernel note)
                 g0 = nloc + gi
-                dkg_c = jnp.sum(dk_wide[:, g0 : g0 + 1, :], axis=0)  # (1, M)
+                dkg_c = jnp.sum(dk_wide[:, g0 : g0 + 1, :], axis=0)  # (1,G·M)
                 dvg_c = jnp.sum(dv_wide[:, g0 : g0 + 1, :], axis=0)
-                dkg_acc[gi][h] = (
-                    dkg_c if dkg_acc[gi][h] is None else dkg_acc[gi][h] + dkg_c
+                dkg_acc[gi][gidx] = (
+                    dkg_c if dkg_acc[gi][gidx] is None
+                    else dkg_acc[gi][gidx] + dkg_c
                 )
-                dvg_acc[gi][h] = (
-                    dvg_c if dvg_acc[gi][h] is None else dvg_acc[gi][h] + dvg_c
+                dvg_acc[gi][gidx] = (
+                    dvg_c if dvg_acc[gi][gidx] is None
+                    else dvg_acc[gi][gidx] + dvg_c
                 )
             for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
                 c0 = bi * w2
@@ -693,8 +849,12 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, has_bias, with_lse, *refs):
                     dk_c = _roll0(dk_c, -dy)
                     dv_c = _roll0(dv_c, -dy)
                 s = i_row + dx + 1  # halo-slab slot for global row t·T+i+dx
-                dk_acc[s][h] = dk_c if dk_acc[s][h] is None else dk_acc[s][h] + dk_c
-                dv_acc[s][h] = dv_c if dv_acc[s][h] is None else dv_acc[s][h] + dv_c
+                dk_acc[s][gidx] = (
+                    dk_c if dk_acc[s][gidx] is None else dk_acc[s][gidx] + dk_c
+                )
+                dv_acc[s][gidx] = (
+                    dv_c if dv_acc[s][gidx] is None else dv_acc[s][gidx] + dv_c
+                )
 
     for s in range(T + 2):
         dk_ref[0, 0, s] = jnp.concatenate(
@@ -843,8 +1003,8 @@ def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret,
         out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
 
     results = pl.pallas_call(
-        functools.partial(_bwd_kernel_tiled, nglo, w2, T, my, H, has_bias,
-                          lse is not None),
+        functools.partial(_bwd_kernel_tiled, nglo, w2, T, my, H,
+                          _head_groups(H, C // H), has_bias, lse is not None),
         grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
