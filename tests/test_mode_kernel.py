@@ -61,6 +61,48 @@ def test_mode_fused_grads_match_xla_tier(mode):
     )
 
 
+def test_mode_fused_grads_odd_heads():
+    # H=3: a head pair + a trailing singleton group exercises the merged
+    # block-diagonal GEMMs alongside a per-head one (vil_backward._head_groups)
+    fused_m, xla_m, params, x, nx, ny = _pair(1, True, H=3, C=24)
+    m = jnp.asarray(4)
+
+    def loss(mod):
+        return lambda p, xx: jnp.sum(mod.apply(p, xx, nx, ny, True, m) ** 2)
+
+    gf = jax.grad(loss(fused_m), argnums=(0, 1))(params, x)
+    gx = jax.grad(loss(xla_m), argnums=(0, 1))(params, x)
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gx)
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_x), atol=3e-4, rtol=3e-4
+    )
+
+
+def test_mode_fused_row_grid_variant(monkeypatch):
+    # force the row-grid (per-chunk-row) fallback kernels: separate bias +
+    # full mask operands instead of the whole-image comb tables
+    monkeypatch.setattr(vil_mode_kernel, "WHOLE_IMAGE_VMEM_BYTES", 0)
+    fused_m, xla_m, params, x, nx, ny = _pair(1, True)
+    m = jnp.asarray(7)
+    out_f = fused_m.apply(params, x, nx, ny, True, m)
+    out_x = xla_m.apply(params, x, nx, ny, True, m)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), atol=2e-4, rtol=2e-4
+    )
+
+    def loss(mod):
+        return lambda p, xx: jnp.sum(mod.apply(p, xx, nx, ny, True, m) ** 2)
+
+    gf = jax.grad(loss(fused_m), argnums=(0, 1))(params, x)
+    gx = jax.grad(loss(xla_m), argnums=(0, 1))(params, x)
+    flat_f, _ = jax.flatten_util.ravel_pytree(gf)
+    flat_x, _ = jax.flatten_util.ravel_pytree(gx)
+    np.testing.assert_allclose(
+        np.asarray(flat_f), np.asarray(flat_x), atol=3e-4, rtol=3e-4
+    )
+
+
 def test_mode_fused_chunked_layout():
     """The persistent chunked stage layout takes the same fused path."""
     from vil_tpu.ops import sliding_chunk as sc

@@ -38,6 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vil_backward import _head_groups, _stack_bd
 from .vil_kernel import _attend_row
 
 INTERPRET = False
@@ -161,14 +162,20 @@ def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, with_lse, class_of,
                 lse_ref[0, h, r] = lse_out[h]
 
 
-def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
-             bias_tail, mask, lse_ref, g_row, outs, r, comb_row=None):
+def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
+             vg_row, bias_grp, mask, lse_ref, g_row, outs, r, comb_row=None):
     """Backward for one chunk-row. ``outs`` = (dq, dks, dknb, dvs, dvnb,
     pg?, dsg?) refs indexed at [0, r]; returns per-head dbias list.
     ``lse_ref`` (1, H, rows, my, W²) | None: forward-stashed log-sum-exp —
     normalized probs in one exp pass (see vil_backward._bwd_kernel_img).
-    ``comb_row`` (comb_ref, rc) | None: combined bias+mask class slab —
-    one VPU score add (see mode_tail_mask_classes)."""
+    ``comb_row`` (combp_ref, combs_ref, rc) | None: combined bias+mask class
+    slabs — one VPU score add (see mode_tail_mask_classes).
+
+    ``groups`` (static tuple from vil_backward._head_groups): head PAIRS are
+    processed through merged GEMMs with block-diagonal stacked operands
+    (vil_backward._stack_bd) — halving the MXU macro-passes of the
+    K/N-starved per-head GEMMs; ``bias_grp`` is the per-group pre-stacked
+    bias list (None entries without bias)."""
     k_cat = _cat2(ks, knb, kg_row)
     v_cat = _cat2(vs, vnb, vg_row)  # global V rides the dP GEMM too
     C = q_row.shape[-1]
@@ -176,68 +183,100 @@ def _bwd_row(nglo, w2, H, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg_row,
     nloc = 2 * w2
     dq_ref, dks_ref, dknb_ref, dvs_ref, dvnb_ref, pg_ref, dsg_ref = outs
     db = [None] * H
-    for h in range(H):
-        hs = h * M
-        q_h = q_row[..., hs : hs + M]
-        k_h = k_cat[..., hs : hs + M].astype(q_h.dtype)
-        v_h = v_cat[..., hs : hs + M].astype(q_h.dtype)
-        g_h = g_row[..., hs : hs + M]
+    n_pair = sum(1 for grp in groups if len(grp) == 2)
+    mask2 = None
+    if mask is not None and n_pair:
+        mask2 = jnp.concatenate([mask, mask], axis=1)
+    for gidx, grp in enumerate(groups):
+        G = len(grp)
+        hs = grp[0] * M
+        gm = G * M
+        q_g = q_row[..., hs : hs + gm]
+        k_g = k_cat[..., hs : hs + gm].astype(q_g.dtype)
+        v_g = v_cat[..., hs : hs + gm].astype(q_g.dtype)
+        g_g = g_row[..., hs : hs + gm]
+        if G == 2:
+            q_in = _stack_bd(q_g, M)  # (my, 2W², 2M) block-diagonal
+            g_in = _stack_bd(g_g, M)
+        else:
+            q_in, g_in = q_g, g_g
         scores = jax.lax.dot_general(
-            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            q_in, k_g, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (my, W², 2W²+Nglo)
+        )  # (my, G·W², 2W²+Nglo)
         if comb_row is not None:
-            comb_ref, rc = comb_row
-            scores = scores + comb_ref[h if comb_ref.shape[0] > 1 else 0, rc]
+            combp_ref, combs_ref, rc = comb_row
+            if G == 2:
+                scores = scores + combp_ref[
+                    gidx if combp_ref.shape[0] > 1 else 0, rc
+                ]
+            else:
+                scores = scores + combs_ref[
+                    grp[0] if combs_ref.shape[0] > 1 else 0, rc
+                ]
         else:
             if has_bias:
-                scores = scores + bias_tail[h][None]
-            scores = scores + mask
+                scores = scores + bias_grp[gidx][None]
+            scores = scores + (mask2 if G == 2 else mask)
         if lse_ref is not None:
-            p = jnp.exp(scores - lse_ref[0, h, r][..., None])
+            if G == 2:
+                lse_row = jnp.concatenate(
+                    [lse_ref[0, grp[0], r], lse_ref[0, grp[1], r]], axis=1
+                )  # (my, 2W²), head-major rows like the scores
+            else:
+                lse_row = lse_ref[0, grp[0], r]
+            p = jnp.exp(scores - lse_row[..., None])
         else:
             m = jnp.max(scores, axis=-1, keepdims=True)
             e = jnp.exp(scores - m)
             p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         dp = jax.lax.dot_general(
-            g_h, v_h, (((2,), (2,)), ((0,), (0,))),
+            g_in, v_g, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         delta = jnp.sum(dp * p, axis=-1, keepdims=True)
         ds = p * (dp - delta)
-        ds_c = ds.astype(q_h.dtype)
-        p_c = p.astype(q_h.dtype)
-        dq_h = jax.lax.dot_general(
-            ds_c, k_h, (((2,), (1,)), ((0,), (0,))),
+        ds_c = ds.astype(q_g.dtype)
+        p_c = p.astype(q_g.dtype)
+        dq_out = jax.lax.dot_general(
+            ds_c, k_g, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # global term included (kg in the concat)
-        dq_ref[0, r, :, :, hs : hs + M] = dq_h.astype(dq_ref.dtype)
+        )  # (my, G·W², G·M) — global term included (kg in the concat);
+        # for a pair only the diagonal (row block j, lane block j) is valid
+        for j, h in enumerate(grp):
+            dq_ref[0, r, :, :, h * M : (h + 1) * M] = dq_out[
+                :, j * w2 : (j + 1) * w2, j * M : (j + 1) * M
+            ].astype(dq_ref.dtype)
         for c0, dk_ref_, dv_ref_ in (
             (0, dks_ref, dvs_ref), (w2, dknb_ref, dvnb_ref)
         ):
             dk_b = jax.lax.dot_general(
-                ds_c[:, :, c0 : c0 + w2], q_h, (((1,), (1,)), ((0,), (0,))),
+                ds_c[:, :, c0 : c0 + w2], q_in, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )  # (my, W², M)
+            )  # (my, W², G·M) — block-diag q_in separates the heads' lanes
             dv_b = jax.lax.dot_general(
-                p_c[:, :, c0 : c0 + w2], g_h, (((1,), (1,)), ((0,), (0,))),
+                p_c[:, :, c0 : c0 + w2], g_in, (((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            dk_ref_[0, r, :, :, hs : hs + M] = dk_b.astype(dk_ref_.dtype)
-            dv_ref_[0, r, :, :, hs : hs + M] = dv_b.astype(dv_ref_.dtype)
+            dk_ref_[0, r, :, :, hs : hs + gm] = dk_b.astype(dk_ref_.dtype)
+            dv_ref_[0, r, :, :, hs : hs + gm] = dv_b.astype(dv_ref_.dtype)
         if nglo > 0:
-            pg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = (
-                p[..., nloc:].astype(pg_ref.dtype)
-            )
-            dsg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = (
-                ds[..., nloc:].astype(dsg_ref.dtype)
-            )
+            for j, h in enumerate(grp):
+                pg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = p[
+                    :, j * w2 : (j + 1) * w2, nloc:
+                ].astype(pg_ref.dtype)
+                dsg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = ds[
+                    :, j * w2 : (j + 1) * w2, nloc:
+                ].astype(dsg_ref.dtype)
         if has_bias:
-            db[h] = jnp.sum(ds, axis=0)  # (W², cols) f32, tail order
+            for j, h in enumerate(grp):
+                db[h] = jnp.sum(
+                    ds[:, j * w2 : (j + 1) * w2], axis=0
+                )  # (W², cols) f32, tail order
     return db
 
 
-def _split_bwd_refs(nglo, has_bias, with_lse, with_comb, refs):
+def _split_bwd_refs(nglo, has_bias, with_lse, n_comb, refs):
     i = 0
     q_ref = refs[i]; i += 1
     ks_ref = refs[i]; i += 1
@@ -248,9 +287,10 @@ def _split_bwd_refs(nglo, has_bias, with_lse, with_comb, refs):
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
         vg_row = refs[i][0]; i += 1
-    bias_tail = mask_ref = comb_ref = None
-    if with_comb:
-        comb_ref = refs[i]; i += 1
+    bias_tail = mask_ref = None
+    comb_refs = ()
+    if n_comb:
+        comb_refs = tuple(refs[i : i + n_comb]); i += n_comb
     else:
         if has_bias:
             bias_tail = refs[i]; i += 1
@@ -265,20 +305,44 @@ def _split_bwd_refs(nglo, has_bias, with_lse, with_comb, refs):
         i += 2
     dbias_ref = refs[i] if has_bias else None
     return (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row,
-            bias_tail, mask_ref, comb_ref, g_ref, lse_ref, tuple(outs),
+            bias_tail, mask_ref, comb_refs, g_ref, lse_ref, tuple(outs),
             dbias_ref)
 
 
-def _bwd_kernel_row(nglo, w2, H, has_bias, with_lse, *refs):
+def _comb_pair(comb_refs, groups):
+    """(combp_ref | None, combs_ref | None) from the kernel's table refs:
+    [pair table][, singleton table] when pairs exist, else [full table]."""
+    n_pair = sum(1 for grp in groups if len(grp) == 2)
+    n_single = sum(1 for grp in groups if len(grp) == 1)
+    it = iter(comb_refs)
+    combp = next(it) if n_pair else None
+    combs = next(it) if n_single else None
+    return combp, combs
+
+
+def _pair_bias(bias_tail, groups):
+    """Per-group pre-stacked bias rows (pair rows concatenated on the query
+    axis), hoisted out of the row loops."""
+    if bias_tail is None:
+        return None
+    return [
+        jnp.concatenate([bias_tail[grp[0]], bias_tail[grp[1]]], axis=0)
+        if len(grp) == 2 else bias_tail[grp[0]]
+        for grp in groups
+    ]
+
+
+def _bwd_kernel_row(nglo, w2, H, groups, has_bias, with_lse, *refs):
     (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
      mask_ref, _comb, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
-        nglo, has_bias, with_lse, False, refs)
+        nglo, has_bias, with_lse, 0, refs)
     b_idx, i_idx = pl.program_id(0), pl.program_id(1)
     first = jnp.logical_and(b_idx == 0, i_idx == 0)
     # row-grid blocks are (1, 1, ...): re-point outs at row index 0
     db = _bwd_row(
-        nglo, w2, H, has_bias, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
-        vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg_row, bias_tail, mask_ref[0],
+        nglo, w2, H, groups, has_bias, q_ref[0, 0], ks_ref[0, 0],
+        knb_ref[0, 0], vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg_row,
+        _pair_bias(bias_tail, groups), mask_ref[0],
         lse_ref, g_ref[0, 0], outs, 0,
     )
     if has_bias:
@@ -292,19 +356,28 @@ def _bwd_kernel_row(nglo, w2, H, has_bias, with_lse, *refs):
                 dbias_ref[h] += db[h]
 
 
-def _bwd_kernel_img(nglo, w2, mx, H, has_bias, with_lse, class_of, *refs):
+def _bwd_kernel_img(nglo, w2, mx, H, groups, has_bias, with_lse, class_of,
+                    n_comb, *refs):
     (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
-     mask_ref, comb_ref, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
-        nglo, has_bias, with_lse, class_of is not None, refs)
+     mask_ref, comb_refs, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
+        nglo, has_bias, with_lse, n_comb, refs)
     b_idx = pl.program_id(0)
+    combp_ref = combs_ref = None
+    if comb_refs:
+        combp_ref, combs_ref = _comb_pair(comb_refs, groups)
+    bias_grp = _pair_bias(bias_tail, groups)
     db_acc = [None] * H
     for r in range(mx):
         db = _bwd_row(
-            nglo, w2, H, has_bias, q_ref[0, r], ks_ref[0, r], knb_ref[0, r],
-            vs_ref[0, r], vnb_ref[0, r], kg_row, vg_row, bias_tail,
+            nglo, w2, H, groups, has_bias, q_ref[0, r], ks_ref[0, r],
+            knb_ref[0, r], vs_ref[0, r], vnb_ref[0, r], kg_row, vg_row,
+            bias_grp,
             mask_ref[r] if mask_ref is not None else None,
             lse_ref, g_ref[0, r], outs, r,
-            comb_row=None if comb_ref is None else (comb_ref, class_of[r]),
+            comb_row=(
+                None if not comb_refs
+                else (combp_ref, combs_ref, class_of[r])
+            ),
         )
         if has_bias:
             for h in range(H):
@@ -564,19 +637,30 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     )
     whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
     use_comb = class_of is not None and whole_image
-    comb = None
+    groups = _head_groups(H, C // H)
+    comb_tables = []
     if use_comb:
+        from .vil_backward import pair_comb_tables
         from .vil_kernel import build_comb
 
-        comb = build_comb(mask_tail, bias_tail, w2)
+        comb_tables = pair_comb_tables(
+            build_comb(mask_tail, bias_tail, w2), groups, H
+        )
     elif class_of is not None:
         mask_tail = jnp.broadcast_to(
             mask_tail[np.asarray(class_of)], (mx, my, w2, cols)
         )
     in_specs, img_spec, const3 = _common_specs(
         B, mx, my, w2, C, nglo, has_bias, cols, whole_image, H,
-        comb_shape=comb.shape if use_comb else None,
+        comb_shape=comb_tables[0].shape if use_comb else None,
     )
+    if use_comb and len(comb_tables) > 1:
+        # trailing odd head's singleton table rides an extra const spec
+        # (the comb spec from _common_specs is the pair table, appended last)
+        in_specs.append(pl.BlockSpec(
+            comb_tables[1].shape, lambda b: (0,) * 5,
+            memory_space=pltpu.VMEM,
+        ))
     in_specs.append(img_spec)  # g
     operands = [q, ks, knb, vs, vnb]
     if nglo > 0:
@@ -585,7 +669,7 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
             jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
     if use_comb:
-        operands.append(comb)
+        operands.extend(comb_tables)
     else:
         if has_bias:
             operands.append(bias_tail)
@@ -627,11 +711,12 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
 
     kernel = (
         functools.partial(
-            _bwd_kernel_img, nglo, w2, mx, H, has_bias, lse is not None,
-            class_of if use_comb else None)
+            _bwd_kernel_img, nglo, w2, mx, H, groups, has_bias,
+            lse is not None, class_of if use_comb else None,
+            len(comb_tables))
         if whole_image
         else functools.partial(
-            _bwd_kernel_row, nglo, w2, H, has_bias, lse is not None)
+            _bwd_kernel_row, nglo, w2, H, groups, has_bias, lse is not None)
     )
     results = pl.pallas_call(
         kernel,
