@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from .. import parallel
+from ..parallel import collectives
 from ..data import make_epoch_data_loader, mixup_from_cfg
 from ..models import build_model
 from ..utils.checkpoint import Checkpointer
@@ -293,6 +294,45 @@ class Trainer:
         if collect and all_scores:
             scores = np.concatenate(all_scores)
             targets_cat = np.concatenate(all_targets)
+            indices = np.concatenate(all_idxs) if all_idxs else None
+            pred_ids = np.concatenate(all_pred_ids) if all_pred_ids else None
+            pred_scores = (
+                np.concatenate(all_pred_scores) if all_pred_scores else None
+            )
+            if jax.process_count() > 1:
+                # multi-host: every host holds only its own sampler shard's
+                # rows — gather them on the master and dedupe the
+                # DistributedSampler padding, matching the reference's
+                # pickled gather_on_master of results_dict
+                # (engine.py:264-268, comm.py:90-140). ALL hosts must enter
+                # the collective; non-masters are done afterwards.
+                merged = collectives.gather_on_master(
+                    {
+                        "scores": scores, "targets": targets_cat,
+                        "indices": indices, "pred_ids": pred_ids,
+                        "pred_scores": pred_scores,
+                    }
+                )
+                if merged is None:  # non-master host
+                    if meters is not None:
+                        meters.update(global_step, top1=top1, top5=top5,
+                                      loss=loss)
+                    return top1
+                cat = {
+                    k: np.concatenate([d[k] for d in merged])
+                    for k in merged[0]
+                    if merged[0][k] is not None
+                }
+                if "indices" in cat:
+                    # keep one row per dataset index (shards are padded by
+                    # wrapping, so duplicates are identical rows)
+                    _, first = np.unique(cat["indices"], return_index=True)
+                    cat = {k: v[first] for k, v in cat.items()}
+                scores = cat["scores"]
+                targets_cat = cat["targets"]
+                indices = cat.get("indices")
+                pred_ids = cat.get("pred_ids")
+                pred_scores = cat.get("pred_scores")
             if self.cfg.OUTPUT_PERCLASS_ACC:
                 # reference output_metrics per-class path (engine.py:47-56)
                 for label in range(int(targets_cat.max()) + 1):
@@ -307,17 +347,16 @@ class Trainer:
                 # (reference saves results.pth keyed by get_img_key,
                 # engine.py:264-268, :323-325)
                 extra = {}
-                if all_idxs:
-                    indices = np.concatenate(all_idxs)
+                if indices is not None:
                     extra["indices"] = indices
                     get_key = getattr(loader.dataset, "get_img_key", None)
                     if get_key is not None:
                         extra["img_keys"] = np.asarray(
                             [str(get_key(int(i))) for i in indices]
                         )
-                if all_pred_ids:
-                    extra["pred_ids"] = np.concatenate(all_pred_ids)
-                    extra["pred_scores"] = np.concatenate(all_pred_scores)
+                if pred_ids is not None:
+                    extra["pred_ids"] = pred_ids
+                    extra["pred_scores"] = pred_scores
                 np.savez(
                     save_results, scores=scores, targets=targets_cat,
                     top1=top1, top5=top5, **extra,
@@ -364,7 +403,15 @@ class Trainer:
         import os.path as op
 
         best = op.join(cfg.OUTPUT_DIR, "model_best.ckpt")
-        if op.isfile(best):
+        has_best = op.isfile(best)
+        if jax.process_count() > 1:
+            # every host must make the SAME final-eval decision (its jitted
+            # eval steps are global collectives) — and non-master hosts can
+            # race past this point before host 0 finishes writing the file.
+            # The object gather is also the barrier: host 0 only answers
+            # after its last save completed, so its view is authoritative.
+            has_best = bool(collectives.all_gather(has_best)[0])
+        if has_best:
             logger.info("Evaluating the best checkpoint: %s", best)
             self.checkpointer.is_test = True
             self.state, _ = self.checkpointer.load(self.state, best, resume=False)
@@ -373,18 +420,25 @@ class Trainer:
 
 
 def run_experiment(cfg):
-    """Full experiment entry (CLI body)."""
+    """Full experiment entry (CLI body). Host-0 owns the shared-filesystem
+    artifacts (config snapshot, TB event files) — the reference's
+    is_main_process() convention (utils/comm.py:26-29)."""
     mkdir(cfg.OUTPUT_DIR)
-    save_config(cfg, f"{cfg.OUTPUT_DIR}/config.yaml")
+    is_main = collectives.is_main_process()
+    if is_main:
+        save_config(cfg, f"{cfg.OUTPUT_DIR}/config.yaml")
     trainer = Trainer(cfg)
-    train_meters = TensorboardLogger(f"{cfg.OUTPUT_DIR}/tb_logs/train")
-    test_meters = [
-        TensorboardLogger(f"{cfg.OUTPUT_DIR}/tb_logs/{name}_{i}")
-        for i, name in enumerate(cfg.DATA.TEST)
-    ]
+    train_meters = test_meters = None
+    if is_main:
+        train_meters = TensorboardLogger(f"{cfg.OUTPUT_DIR}/tb_logs/train")
+        test_meters = [
+            TensorboardLogger(f"{cfg.OUTPUT_DIR}/tb_logs/{name}_{i}")
+            for i, name in enumerate(cfg.DATA.TEST)
+        ]
     try:
         return trainer.fit(train_meters, test_meters)
     finally:
-        train_meters.close()
-        for m in test_meters:
+        if train_meters is not None:
+            train_meters.close()
+        for m in test_meters or ():
             m.close()
