@@ -46,6 +46,32 @@ from ..masks import NEIGHBOR_OFFSETS
 # flip to True in CPU tests to run the kernel in interpreter mode
 INTERPRET = False
 
+# Experiment flag (default off; A/B via VIL_TPU_LAYOUT_HINT=1): constrain the
+# kernel operands/cotangents to the default row-major layout INSIDE the jit,
+# asking XLA's layout assignment to materialize the producing QKV-GEMM
+# outputs directly in the layout the Pallas custom call pins — instead of
+# batch-in-sublanes conv layouts followed by standalone relayout copies
+# (~4.9 ms/step at ViL-Small 224 b64; docs/ROADMAP.md "relayout tax").
+import os as _os
+
+LAYOUT_HINT = _os.environ.get("VIL_TPU_LAYOUT_HINT", "") == "1"
+
+
+def hint_default_layout(*arrays):
+    """with_layout_constraint(default row-major) on each non-None array."""
+    if not LAYOUT_HINT:
+        return arrays if len(arrays) != 1 else arrays[0]
+    from jax.experimental.layout import Layout, with_layout_constraint
+
+    out = tuple(
+        a if a is None or getattr(a, "ndim", 0) < 3
+        else with_layout_constraint(
+            a, Layout(major_to_minor=tuple(range(a.ndim)))
+        )
+        for a in arrays
+    )
+    return out if len(out) != 1 else out[0]
+
 # whole-image kernels must fit their VMEM estimate under this budget; the
 # pallas_call raises the Mosaic scope to 64 MB (v5e runs ~20 MB scoped
 # allocations fine, measured). Tests monkeypatch this to 0 to force the
@@ -454,6 +480,7 @@ def make_fused_vil_attention_mh(
     @jax.custom_vjp
     def fused(q, k, v, k_glo, v_glo, bias):
         if use_pallas:
+            q, k, v = hint_default_layout(q, k, v)
             return _pallas_forward_mh(
                 q, k, v, k_glo, v_glo, bias, mask_add, num_heads
             )
@@ -461,6 +488,7 @@ def make_fused_vil_attention_mh(
 
     def fwd(q, k, v, k_glo, v_glo, bias):
         if use_pallas:
+            q, k, v = hint_default_layout(q, k, v)
             # train-path forward also stashes the per-query log-sum-exp so
             # the fused backward skips the softmax max/sum/divide recompute
             out, lse = _pallas_forward_mh(
@@ -474,6 +502,7 @@ def make_fused_vil_attention_mh(
     def bwd(res, g):
         q, k, v, k_glo, v_glo, bias, lse = res
         if use_pallas and pallas_bwd:
+            g = hint_default_layout(g)
             from .vil_backward import vil_attention_backward
 
             dq, dk, dv, dkg, dvg, dbias = vil_attention_backward(

@@ -752,14 +752,18 @@ def make_fused_mode_attention(num_heads: int, class_of=None):
     custom_vjp inputs makes XLA derive the inverse roll for dK/dV
     automatically."""
 
+    from .vil_kernel import hint_default_layout
+
     @jax.custom_vjp
     def fused(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail):
+        q, ks, knb, vs, vnb = hint_default_layout(q, ks, knb, vs, vnb)
         return mode_forward(
             q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, num_heads,
             class_of=class_of,
         )
 
     def fwd(q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail):
+        q, ks, knb, vs, vnb = hint_default_layout(q, ks, knb, vs, vnb)
         # train-path forward stashes the per-query log-sum-exp so the
         # backward recomputes normalized probs in one exp pass
         out, lse = mode_forward(
@@ -770,6 +774,7 @@ def make_fused_mode_attention(num_heads: int, class_of=None):
 
     def bwd(res, g):
         q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, lse = res
+        g = hint_default_layout(g)
         dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias = mode_backward(
             q, ks, knb, vs, vnb, kg, vg, bias_tail, mask_tail, g, num_heads,
             lse=lse, class_of=class_of,
