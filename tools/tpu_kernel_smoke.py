@@ -101,6 +101,51 @@ def run_smoke(verbose: bool = True) -> dict:
                 f"grad err {e_grad:.2e} -> {'PASS' if passed else 'FAIL'}",
                 file=sys.stderr,
             )
+    # sampled-mode (MODE>0, random-shift training) path: the fused mode
+    # kernels behind VilAttention vs the pure-XLA tier, compiled, fwd + VJP,
+    # traced mode index (the shape the training step uses). H=3 covers the
+    # head-pair merged GEMMs plus a singleton group.
+    from vil_tpu.models.attention import VilAttention
+    from vil_tpu.ops.pallas import vil_mode_kernel
+
+    if jax.default_backend() != "tpu":
+        vil_mode_kernel.INTERPRET = True
+    H2, C2, wm, nx, ny, nglo2 = 3, 48, 3, 5, 5, 1
+    mk = lambda up: VilAttention(
+        dim=C2, num_heads=H2, w=wm, nglo=nglo2, rpe=True, exact=0,
+        use_pallas=up,
+    )
+    xm = jax.random.normal(
+        jax.random.PRNGKey(21), (2, nglo2 + nx * ny, C2), jnp.float32
+    )
+    params = mk(False).init(jax.random.PRNGKey(22), xm, nx, ny, True, 0)
+    mode = jnp.asarray(4)
+
+    @jax.jit
+    def mode_pair(p, xx):
+        loss = lambda up: (
+            lambda q: jnp.sum(mk(up).apply(p, q, nx, ny, True, mode) ** 2)
+        )
+        of, gf = jax.value_and_grad(loss(True))(xx)
+        ox, gx = jax.value_and_grad(loss(False))(xx)
+        return of, ox, gf, gx
+
+    of, ox, gf, gx = mode_pair(params, xm)
+    e_fwd_m = float(jnp.abs(of - ox))
+    e_grad_m = _max_err(gf, gx)
+    passed_m = e_fwd_m <= 5e-2 and e_grad_m <= 5e-3
+    ok &= passed_m
+    results["mode"] = {
+        "fwd_loss_err": round(e_fwd_m, 6),
+        "grad_max_err": round(e_grad_m, 6),
+        "pass": passed_m,
+    }
+    if verbose:
+        print(
+            f"kernel smoke [mode] loss err {e_fwd_m:.2e} "
+            f"grad err {e_grad_m:.2e} -> {'PASS' if passed_m else 'FAIL'}",
+            file=sys.stderr,
+        )
     results["ok"] = ok
     return results
 
