@@ -29,4 +29,7 @@ python benchmarks/train_bench.py --batch 64 --random-shift
 echo "--- [6] train_bench with layout hint (relayout-tax A/B) ---"
 VIL_TPU_LAYOUT_HINT=1 python benchmarks/train_bench.py --batch 64
 
+echo "--- [7] bench.py (headline + warm cache for the driver) ---"
+python bench.py
+
 echo "=== tpu_ab_queue done $(date) ==="
