@@ -200,6 +200,44 @@ def test_spatial_global_branch_matches_unsharded():
     )
 
 
+def test_gspmd_whole_model_spatial_forward():
+    """Whole-MsViT forward with the INPUT IMAGE sharded over its height axis
+    (batch over 'data' simultaneously): GSPMD propagates the sharding through
+    patch embeds, chunked attention (cyclic rolls become collective
+    permutes), and the full-attention stages — logits must match the
+    unsharded run. parallel/spatial.py is the hand-optimized op path; this
+    certifies the zero-code whole-model path."""
+    from jax.sharding import NamedSharding
+
+    from vil_tpu.models import MsViT
+
+    model = MsViT(
+        arch=(
+            "l1,h1,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s1,g1,p2,f2"
+            "_l3,h2,d32,n1,s0,g0,p2,f2"
+        ),
+        img_size=32, num_classes=10, attn_type="longformerhand",
+        sharew=True, dtype=jnp.float32,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    vars_ = model.init({"params": jax.random.PRNGKey(0)}, x)
+    ref = jax.jit(lambda v, t: model.apply(v, t, deterministic=True))(
+        vars_, x
+    )
+    mesh = _mesh()
+    xs = NamedSharding(mesh, P("data", "spatial"))
+    rep = NamedSharding(mesh, P())
+    f = jax.jit(
+        lambda v, t: model.apply(v, t, deterministic=True),
+        in_shardings=(rep, xs),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    out = f(jax.device_put(vars_, rep), jax.device_put(x, xs))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_halo_rows_cyclic():
     mesh = _mesh()
     x = jnp.arange(B * MX * MY * W2 * C, dtype=jnp.float32).reshape(
