@@ -128,6 +128,40 @@ def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True
     )
 
 
+def lockstep_compile(jitted):
+    """Compile-skew barrier for multi-host runs.
+
+    Collective contexts are created lazily at FIRST execution of a program,
+    with a rendezvous deadline (XLA's gloo KV store: 30 s; ICI setup has
+    similar limits) — but per-host compile times for the same program can
+    differ by minutes on loaded hosts, so the fastest host can reach the
+    rendezvous and time out while a peer is still compiling. Wrap a jitted
+    step so that each distinct input signature is AOT-compiled first and a
+    cross-host barrier runs BEFORE the first execution; the barrier's own
+    program is trivial (negligible skew). Single-process: returns ``jitted``
+    unchanged.
+    """
+    if jax.process_count() == 1:
+        return jitted
+
+    compiled = {}
+
+    def wrapped(*args):
+        key = tuple(
+            (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape") else None
+            for leaf in args
+            for x in jax.tree_util.tree_leaves(leaf)
+        )
+        if key not in compiled:
+            from . import collectives
+
+            compiled[key] = jitted.lower(*args).compile()
+            collectives.synchronize()
+        return compiled[key](*args)
+
+    return wrapped
+
+
 def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
     """Jit the eval step: scalar metrics replicated; per-sample outputs
     (``scores``) stay batch-sharded on their devices — replicating them

@@ -161,9 +161,11 @@ class Trainer:
                 random_shift=random_shift, mixup_fn=self.mixup_fn,
                 per_layer_modes=bool(self.cfg.TPU.MODE_PER_LAYER),
             )
-            self._train_steps[random_shift] = parallel.jit_train_step(
-                step, self.mesh, donate_state=False,
-                state_shardings=self.state_shardings,
+            self._train_steps[random_shift] = parallel.mesh.lockstep_compile(
+                parallel.jit_train_step(
+                    step, self.mesh, donate_state=False,
+                    state_shardings=self.state_shardings,
+                )
             )
         return self._train_steps[random_shift]
 
@@ -190,7 +192,9 @@ class Trainer:
                 # results.pth, engine.py:264-268)
                 pred_topk=5 if self.cfg.EVALUATE else 0,
             )
-            self._eval_step = parallel.jit_eval_step(estep, self.mesh)
+            self._eval_step = parallel.mesh.lockstep_compile(
+                parallel.jit_eval_step(estep, self.mesh)
+            )
         return self._eval_step
 
     def _random_shift_active(self, epoch: int) -> bool:
