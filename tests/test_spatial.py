@@ -200,6 +200,55 @@ def test_spatial_global_branch_matches_unsharded():
     )
 
 
+def test_spatial_pallas_halo_kernel_matches_unsharded(monkeypatch):
+    """The Pallas halo-input kernel path under spatial sharding (interpret
+    mode): halo exchange outside the custom_vjp, whole-image kernel over
+    mx+2 rows with traced per-row mask classes, XLA-recompute backward —
+    values AND grads must match the unsharded oracle."""
+    monkeypatch.setattr(vil_kernel, "INTERPRET", True)
+    mesh = _mesh()
+    q, k, v, kg, vg, bias = _inputs(4)
+    mask = _mask_add(0)
+    classes_host, row_class = spatial.halo_tables(np.asarray(mask), NGLO)
+    assert classes_host.shape[0] >= 2  # boundary rows differ from interior
+    fused = vil_kernel.make_fused_vil_attention_halo(classes_host, NGLO, H)
+    row_class = jnp.asarray(row_class)
+
+    data5 = P("data", "spatial")
+    fn = jax.shard_map(
+        lambda q, k, v, kg, vg, b, rc: spatial.spatial_local_attention_pallas(
+            q, k, v, kg, vg, b, rc, fused, "spatial"
+        ),
+        mesh=mesh,
+        in_specs=(data5, data5, data5, P("data"), P("data"), P(),
+                  P("spatial")),
+        out_specs=data5,
+        check_vma=False,  # pallas_call out_shapes carry no vma info
+    )
+    out_sp = jax.jit(fn)(q, k, v, kg, vg, bias, row_class)
+    out_ref = vil_kernel._xla_reference_mh(q, k, v, kg, vg, bias,
+                                           np.asarray(mask), H)
+    np.testing.assert_allclose(
+        np.asarray(out_sp), np.asarray(out_ref), atol=2e-4, rtol=2e-4
+    )
+
+    def loss_sp(q, k, v, bias):
+        return jnp.sum(fn(q, k, v, kg, vg, bias, row_class) ** 2)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(
+            vil_kernel._xla_reference_mh(q, k, v, kg, vg, bias,
+                                         np.asarray(mask), H) ** 2
+        )
+
+    gs = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    for a, b in zip(gs, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
+        )
+
+
 def test_gspmd_whole_model_spatial_forward():
     """Whole-MsViT forward with the INPUT IMAGE sharded over its height axis
     (batch over 'data' simultaneously): GSPMD propagates the sharding through

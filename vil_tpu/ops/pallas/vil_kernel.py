@@ -262,6 +262,268 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
                 lse_ref[0, h, i_row] = lse_out[h]
 
 
+def _mh_kernel_img_halo(nglo: int, w2: int, mx: int, my: int,
+                        num_heads: int, with_lse: bool, *refs):
+    """Whole-image kernel body over HALO-EXTENDED K/V (grid (B,)) — the
+    spatial/sequence-parallel variant (parallel/spatial.py).
+
+    k/v arrive with mx+2 chunk rows: rows 0 and mx+1 are the ±1 halos a
+    spatial shard fetched from its mesh neighbors via ppermute, so the row
+    loop reads [i, i+1, i+2] with NO cyclic wrap. The combined bias+mask
+    row class is a TRACED per-row index (rc_ref, SMEM): different spatial
+    shards hold different slices of the global mask, and SPMD shards run one
+    program — the static class_of lookup of _mh_kernel_img is not available.
+    refs: [q, k_ext, v_ext, (kg_row, vg)?, comb, rc, out, (lse)?]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    kg_row = vg = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg = refs[i][0]; i += 1
+    comb_ref = refs[i]; i += 1
+    rc_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+    lse_ref = refs[i] if with_lse else None
+
+    for i_row in range(mx):
+        k_rows = [k_ref[0, i_row + dx + 1] for dx in (-1, 0, 1)]
+        v_rows = [v_ref[0, i_row + dx + 1] for dx in (-1, 0, 1)]
+        lse_out = [] if with_lse else None
+        out_ref[0, i_row] = _attend_row(
+            q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
+            _nbh_rows(v_rows, my), vg, None, None,
+            nglo, num_heads, out_ref.dtype, lse_out,
+            comb_row=(comb_ref, rc_ref[i_row]),
+        )
+        if with_lse:
+            for h in range(num_heads):
+                lse_ref[0, h, i_row] = lse_out[h]
+
+
+def _pallas_forward_halo(
+    q: jax.Array, k_ext: jax.Array, v_ext: jax.Array,
+    k_glo: Optional[jax.Array], v_glo: Optional[jax.Array],
+    bias: Optional[jax.Array], classes_host: np.ndarray,
+    row_class: jax.Array, num_heads: int,
+    *, interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Whole-image fused forward over halo-extended K/V.
+
+    q (B, mx, my, W², C); k_ext/v_ext (B, mx+2, my, W², C); bias
+    (H, W², Nglo+9W²) FRONT order or None; classes_host (ncls, my, Wq, cols)
+    TAIL-order mask classes of the GLOBAL grid (host numpy,
+    tail_mask_classes); row_class (mx,) int32 — this shard's class per row
+    (traced; SMEM operand)."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    cols = nglo + 9 * w2
+    if interpret is None:
+        interpret = INTERPRET
+    bias_tail = None
+    if bias is not None:
+        bias_tail = jnp.concatenate(
+            [bias[..., nglo:], bias[..., :nglo]], axis=-1
+        ).astype(jnp.float32)
+    comb = build_comb(np.asarray(classes_host, np.float32), bias_tail, w2)
+    row_class = row_class.astype(jnp.int32)
+
+    img_spec = pl.BlockSpec(
+        (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ext_spec = pl.BlockSpec(
+        (1, mx + 2, my, w2, C), lambda b: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [img_spec, ext_spec, ext_spec]
+    operands = [q, k_ext, v_ext]
+    if nglo > 0:
+        in_specs += [
+            pl.BlockSpec((1, my, nglo, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nglo, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)), v_glo
+        ]
+    in_specs += [
+        pl.BlockSpec(comb.shape, lambda b: (0,) * 5,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((mx,), lambda b: (0,), memory_space=pltpu.SMEM),
+    ]
+    operands += [comb, row_class]
+
+    kernel = functools.partial(
+        _mh_kernel_img_halo, nglo, w2, mx, my, num_heads, False
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=img_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * my * w2 * cols * C * 2 * B * mx,
+            bytes_accessed=(q.size + 2 * k_ext.size) * q.dtype.itemsize,
+            transcendentals=B * mx * my * w2 * cols * num_heads,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _xla_reference_ext_mh(q, k_ext, v_ext, k_glo, v_glo, bias,
+                          mask_add_rows, num_heads):
+    """Halo-extended XLA oracle (FRONT column order, like
+    _xla_reference_mh): the 3×3 neighbor rows come from static slices of the
+    (mx+2)-row K/V instead of cyclic rolls. mask_add_rows: this shard's
+    (mx, my, Wq, Nglo+9W²) additive rows."""
+    B, mx, my, w2, C = q.shape
+    M = C // num_heads
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+
+    def to_bh(t):
+        b, a1, a2, a3, _ = t.shape
+        return (
+            t.reshape(b, a1, a2, a3, num_heads, M)
+            .transpose(0, 4, 1, 2, 3, 5)
+            .reshape(b * num_heads, a1, a2, a3, M)
+        )
+
+    def glo_to_bh(t):
+        b, g, _ = t.shape
+        return (
+            t.reshape(b, g, num_heads, M)
+            .transpose(0, 2, 1, 3).reshape(b * num_heads, g, M)
+        )
+
+    def nbh(t_ext):
+        parts = [
+            jnp.roll(
+                jax.lax.slice_in_dim(t_ext, 1 + dx, 1 + dx + mx, axis=1),
+                -dy, axis=2,
+            )
+            for dx, dy in NEIGHBOR_OFFSETS
+        ]
+        return jnp.concatenate(parts, axis=3)
+
+    qh = to_bh(q)
+    k_nbh = nbh(to_bh(k_ext))
+    s_loc = jnp.einsum("bmnlc,bmntc->bmnlt", qh, k_nbh,
+                       preferred_element_type=jnp.float32)
+    if nglo > 0:
+        s_glo = jnp.einsum("bmnlc,btc->bmnlt", qh, glo_to_bh(k_glo),
+                           preferred_element_type=jnp.float32)
+        scores = jnp.concatenate([s_glo, s_loc], axis=-1)
+    else:
+        scores = s_loc
+    if bias is not None:
+        scores = scores + jnp.tile(bias, (B, 1, 1))[:, None, None]
+    scores = scores + mask_add_rows.astype(jnp.float32)[None]
+    m = jax.lax.stop_gradient(scores.max(axis=-1, keepdims=True))
+    probs = jax.nn.softmax(scores - m, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bmnlt,bmntc->bmnlc", probs[..., nglo:],
+                     nbh(to_bh(v_ext)),
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    if nglo > 0:
+        out = out + jnp.einsum(
+            "bmnlt,btc->bmnlc", probs[..., :nglo], glo_to_bh(v_glo),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+    return (
+        out.reshape(B, num_heads, mx, my, w2, M)
+        .transpose(0, 2, 3, 4, 1, 5)
+        .reshape(B, mx, my, w2, C)
+    )
+
+
+def make_fused_vil_attention_halo(
+    classes_host: np.ndarray, nglo: int, num_heads: int,
+    use_pallas: bool = True,
+):
+    """Halo-input fused attention with custom VJP — the Pallas path of
+    SPATIAL (sequence) parallelism (parallel/spatial.py). Callers exchange
+    the ±1 chunk-row halos with ppermute OUTSIDE this boundary and pass
+    k_ext/v_ext with mx+2 rows; the VJP emits dk_ext/dv_ext (halo-row grads
+    included), which jax transposes back through the caller's
+    concat+ppermute automatically.
+
+    classes_host: TAIL-order additive-mask classes of the GLOBAL grid
+    (tail_mask_classes); per-shard rows are selected by the traced
+    ``row_class`` argument. Backward recomputes through the XLA ext oracle
+    (fused halo backward is future work — docs/ROADMAP.md)."""
+    classes_host = np.asarray(classes_host, dtype=np.float32)
+    nloc_cols = classes_host.shape[-1] - nglo
+
+    def _mask_front(row_class):
+        tail = jnp.asarray(classes_host)[row_class]  # (mx, my, Wq, cols)
+        if nglo == 0:
+            return tail
+        return jnp.concatenate(
+            [tail[..., nloc_cols:], tail[..., :nloc_cols]], axis=-1
+        )
+
+    def _fits(q, k_ext):
+        ncls, my_ = classes_host.shape[:2]
+        cols = classes_host.shape[-1]
+        w2 = q.shape[3]
+        comb_bytes = num_heads * ncls * my_ * w2 * cols * 4
+        img_bytes = (
+            2 * (2 * q.size + 2 * k_ext.size) // q.shape[0]
+            * q.dtype.itemsize  # q/out + k/v ext, ×2 pipeline buffers
+            + comb_bytes
+            + 3 * my_ * w2 * cols * 4  # live f32 score-row intermediates
+        )
+        return img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+
+    @jax.custom_vjp
+    def fused(q, k_ext, v_ext, k_glo, v_glo, bias, row_class):
+        if use_pallas and _fits(q, k_ext):
+            return _pallas_forward_halo(
+                q, k_ext, v_ext, k_glo, v_glo, bias, classes_host,
+                row_class, num_heads,
+            )
+        return _xla_reference_ext_mh(
+            q, k_ext, v_ext, k_glo, v_glo, bias, _mask_front(row_class),
+            num_heads,
+        )
+
+    def fwd(q, k_ext, v_ext, k_glo, v_glo, bias, row_class):
+        out = fused(q, k_ext, v_ext, k_glo, v_glo, bias, row_class)
+        return out, (q, k_ext, v_ext, k_glo, v_glo, bias, row_class)
+
+    def bwd(res, g):
+        q, k_ext, v_ext, k_glo, v_glo, bias, row_class = res
+        diff = tuple(
+            a for a in (q, k_ext, v_ext, k_glo, v_glo, bias)
+            if a is not None
+        )
+
+        def wrapped(*args):
+            it = iter(args)
+            full = [next(it) if a is not None else None
+                    for a in (q, k_ext, v_ext, k_glo, v_glo, bias)]
+            return _xla_reference_ext_mh(
+                *full, _mask_front(row_class), num_heads
+            )
+
+        _, vjp = jax.vjp(wrapped, *diff)
+        grads = iter(vjp(g))
+        out = tuple(
+            next(grads) if a is not None else None
+            for a in (q, k_ext, v_ext, k_glo, v_glo, bias)
+        )
+        return out + (np.zeros(row_class.shape, dtype=jax.dtypes.float0),)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 def _pallas_forward_mh(
     q: jax.Array,
     k: jax.Array,

@@ -168,6 +168,42 @@ def spatial_local_attention(
     )
 
 
+def halo_tables(mask_add: np.ndarray, nglo: int):
+    """Host-side tables for the Pallas halo kernel under spatial sharding.
+
+    mask_add: the GLOBAL additive mask (mx, my, Wq, Nglo+9W²)
+    (vil_kernel.mask_to_additive). Returns ``(classes_host, row_class)``:
+    the tail-order dedup'd class table (shared by every shard — SPMD shards
+    run one program) and the per-GLOBAL-row int32 class vector, to be
+    sharded along mx together with the data."""
+    from ..ops.pallas.vil_kernel import tail_mask_classes
+
+    classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
+    return classes_host, np.asarray(class_of, dtype=np.int32)
+
+
+def spatial_local_attention_pallas(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    k_glo: Optional[jax.Array], v_glo: Optional[jax.Array],
+    bias: Optional[jax.Array], row_class: jax.Array, fused,
+    axis_name: str,
+) -> jax.Array:
+    """Pallas-kernel path of spatial parallelism: exchange the ±1 chunk-row
+    halos, then run the halo-input fused kernel on this shard. ``fused`` is
+    built OUTSIDE shard_map by ``vil_kernel.make_fused_vil_attention_halo``
+    (it carries the global mask-class table); ``row_class`` is this shard's
+    (mxs,) slice of the per-row class vector (halo_tables). Gradients flow
+    back through the halo concat + ppermute automatically (dk_ext's halo
+    rows are returned to their owner shards by the ppermute transpose).
+    NOTE: pass ``check_vma=False`` to the enclosing ``jax.shard_map`` —
+    pallas_call out_shapes carry no varying-mesh-axes info."""
+    top_k, bot_k = halo_rows(k, axis_name)
+    top_v, bot_v = halo_rows(v, axis_name)
+    k_ext = jnp.concatenate([top_k, k, bot_k], axis=1)
+    v_ext = jnp.concatenate([top_v, v, bot_v], axis=1)
+    return fused(q, k_ext, v_ext, k_glo, v_glo, bias, row_class)
+
+
 def spatial_global_branch(
     qg: jax.Array, k_img: jax.Array, v_img: jax.Array,
     k_glo: jax.Array, v_glo: jax.Array,
