@@ -200,12 +200,18 @@ def test_spatial_global_branch_matches_unsharded():
     )
 
 
-def test_spatial_pallas_halo_kernel_matches_unsharded(monkeypatch):
+@pytest.mark.parametrize("fused_bwd", [True, False])
+def test_spatial_pallas_halo_kernel_matches_unsharded(monkeypatch, fused_bwd):
     """The Pallas halo-input kernel path under spatial sharding (interpret
-    mode): halo exchange outside the custom_vjp, whole-image kernel over
-    mx+2 rows with traced per-row mask classes, XLA-recompute backward —
-    values AND grads must match the unsharded oracle."""
+    mode): halo exchange outside the custom_vjp, whole-image kernels over
+    mx+2 rows with traced per-row mask classes — values AND grads must match
+    the unsharded oracle, through BOTH the fused halo backward kernel and
+    the XLA-recompute fallback."""
     monkeypatch.setattr(vil_kernel, "INTERPRET", True)
+    if not fused_bwd:  # force the XLA-recompute backward fallback
+        from vil_tpu.ops.pallas import vil_backward
+
+        monkeypatch.setattr(vil_backward, "WHOLE_IMAGE_VMEM_BYTES", 0)
     mesh = _mesh()
     q, k, v, kg, vg, bias = _inputs(4)
     mask = _mask_add(0)

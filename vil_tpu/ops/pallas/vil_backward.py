@@ -147,7 +147,7 @@ def _nbh(rows, my):
 
 
 def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
-                    class_of, *refs):
+                    class_of, halo, *refs):
     """Fused whole-image backward (grid (B,)). refs:
     [q, k, v, g, (kg_row, vg_row)?, comb-tables | ((bias_tail)?, mask_tail),
      (lse)?, dq, dk, dv, (dkg, dvg)?, (dbias_tail)?].
@@ -172,7 +172,15 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
     columns together with the local ones (forward-v7 layout). mask/bias are
     in the same tail order. dK/dV accumulate in f32 VMEM values across the
     statically-unrolled row loop; dbias accumulates across the batch grid in
-    a constant-index output block."""
+    a constant-index output block.
+
+    ``halo`` (spatial / sequence parallelism, parallel/spatial.py): k/v and
+    dk/dv carry mx+2 chunk rows (±1 ppermute halos), the row loop reads
+    [i, i+1, i+2] with NO cyclic wrap, and the comb row class is a TRACED
+    per-row index (an extra (mx,) int32 SMEM ref directly after the comb
+    tables) — SPMD shards of one program hold different slices of the
+    global mask, so the static class_of lookup is unavailable (class_of
+    must be None)."""
     n_pair = sum(1 for grp in groups if len(grp) == 2)
     n_single = sum(1 for grp in groups if len(grp) == 1)
     i = 0
@@ -184,12 +192,15 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
         vg_row = refs[i][0]; i += 1
-    bias_tail = mask_ref = combp_ref = combs_ref = None
-    if class_of is not None:
+    bias_tail = mask_ref = combp_ref = combs_ref = rc_ref = None
+    use_comb = class_of is not None or halo
+    if use_comb:
         if n_pair:
             combp_ref = refs[i]; i += 1
         if n_single:
             combs_ref = refs[i]; i += 1
+        if halo:
+            rc_ref = refs[i]; i += 1  # (mx,) int32 SMEM: traced row classes
     else:
         if has_bias:
             bias_tail = refs[i]; i += 1
@@ -216,8 +227,9 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
 
     from .vil_kernel import _nbh_rows
 
-    dk_acc = [[None] * nG for _ in range(mx)]
-    dv_acc = [[None] * nG for _ in range(mx)]
+    n_rows_out = mx + 2 if halo else mx
+    dk_acc = [[None] * nG for _ in range(n_rows_out)]
+    dv_acc = [[None] * nG for _ in range(n_rows_out)]
     db_acc = [None] * H
     # dK_glo/dV_glo accumulate IN-KERNEL (r2): the former pg/dS_glo HBM
     # outputs fed XLA einsums whose batch-minor reduce layouts materialized
@@ -237,8 +249,15 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
             )
 
     for i_row in range(mx):
-        k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
-        v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        if halo:
+            k_rows = [k_ref[0, i_row + dx + 1] for dx in (-1, 0, 1)]
+            v_rows = [v_ref[0, i_row + dx + 1] for dx in (-1, 0, 1)]
+        else:
+            k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+            v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        rc = rc_ref[i_row] if halo else (
+            class_of[i_row] if class_of is not None else None
+        )
         k_nbh = _nbh_rows(k_rows, my, kg_row)  # (my, 9W²+Nglo, C)
         v_nbh = _nbh_rows(v_rows, my, vg_row)
         q_row = q_ref[0, i_row]  # (my, W², C)
@@ -265,20 +284,19 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (my, G·W², cols)
-            if class_of is not None:
+            if use_comb:
                 # combined bias+mask class table: one add (vil_kernel
-                # build_comb); rc static via the unrolled row loop
+                # build_comb); rc is static via the unrolled row loop, or a
+                # traced SMEM read under halo (spatial sharding)
                 if G == 2:
                     scores = scores + combp_ref[
-                        gidx if combp_ref.shape[0] > 1 else 0,
-                        class_of[i_row],
+                        gidx if combp_ref.shape[0] > 1 else 0, rc
                     ]
                 else:
                     # singleton-group index: equals grp[0] when pairing is
                     # off (full table), else 0 (one trailing odd head)
                     scores = scores + combs_ref[
-                        grp[0] if combs_ref.shape[0] > 1 else 0,
-                        class_of[i_row],
+                        grp[0] if combs_ref.shape[0] > 1 else 0, rc
                     ]
             else:
                 if bias_tail is not None:
@@ -402,7 +420,7 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                 if my > 1:
                     dk_c = _roll0(dk_c, -dy)
                     dv_c = _roll0(dv_c, -dy)
-                r = (i_row + dx) % mx
+                r = (i_row + dx + 1) if halo else (i_row + dx) % mx
                 dk_acc[r][gidx] = (
                     dk_c if dk_acc[r][gidx] is None else dk_acc[r][gidx] + dk_c
                 )
@@ -410,7 +428,7 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                     dv_c if dv_acc[r][gidx] is None else dv_acc[r][gidx] + dv_c
                 )
 
-    for r in range(mx):
+    for r in range(n_rows_out):
         dk_ref[0, r] = jnp.concatenate(
             [a.astype(dk_ref.dtype) for a in dk_acc[r]], axis=-1
         )
@@ -654,7 +672,7 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
 
     results = pl.pallas_call(
         functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, groups,
-                          has_bias, lse is not None, class_of),
+                          has_bias, lse is not None, class_of, False),
         grid=(B,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -674,6 +692,112 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
         dvg = next(it).astype(v_glo.dtype)
     if has_bias:
         db_tail = next(it)  # (H, W², 9W²+Nglo) f32, tail order
+        nloc = 9 * w2
+        dbias = jnp.concatenate(
+            [db_tail[..., nloc:], db_tail[..., :nloc]], axis=-1
+        )
+    return dq, dk, dv, dkg, dvg, dbias
+
+
+def backward_whole_image_halo(q, k_ext, v_ext, k_glo, v_glo, bias, g,
+                              classes_host, row_class, H, interpret=None):
+    """Fused whole-image backward over HALO-EXTENDED K/V — the spatial /
+    sequence-parallel variant (_bwd_kernel_img with halo=True). dk/dv are
+    returned with mx+2 rows (halo-row grads included; the caller's
+    concat+ppermute transpose returns them to their owner shards).
+    classes_host/row_class as in vil_kernel.make_fused_vil_attention_halo.
+    Returns (dq, dk_ext, dv_ext, dk_glo, dv_glo, dbias)."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = nglo + 9 * w2
+    if interpret is None:
+        from . import vil_kernel as _vk
+
+        interpret = INTERPRET or _vk.INTERPRET
+    from .vil_kernel import build_comb
+
+    bias_tail = None
+    if has_bias:
+        bias_tail = jnp.concatenate(
+            [bias[..., nglo:], bias[..., :nglo]], axis=-1
+        ).astype(jnp.float32)
+    comb = build_comb(np.asarray(classes_host, np.float32), bias_tail, w2)
+    groups = _head_groups(H, C // H)
+    comb_tables = pair_comb_tables(comb, groups, H)
+
+    img_spec = pl.BlockSpec(
+        (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    ext_spec = pl.BlockSpec(
+        (1, mx + 2, my, w2, C), lambda b: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [img_spec, ext_spec, ext_spec, img_spec]
+    operands = [q, k_ext, v_ext, g]
+    if nglo > 0:
+        kg_spec = pl.BlockSpec(
+            (1, my, nglo, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [kg_spec, kg_spec]
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
+        ]
+    for tbl in comb_tables:
+        in_specs.append(
+            pl.BlockSpec(tbl.shape, lambda b: (0,) * 5,
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(tbl)
+    in_specs.append(
+        pl.BlockSpec((mx,), lambda b: (0,), memory_space=pltpu.SMEM)
+    )
+    operands.append(row_class.astype(jnp.int32))
+
+    out_specs = [img_spec, ext_spec, ext_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(k_ext.shape, k_ext.dtype),
+        jax.ShapeDtypeStruct(v_ext.shape, v_ext.dtype),
+    ]
+    if nglo > 0:
+        glo_spec = pl.BlockSpec(
+            (1, nglo, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [glo_spec, glo_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+        ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
+
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel_img, nglo, w2, mx, my, H, groups,
+                          has_bias, False, None, True),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    it = iter(results)
+    dq, dk, dv = next(it), next(it), next(it)
+    dkg = dvg = dbias = None
+    if nglo > 0:
+        dkg = next(it).astype(k_glo.dtype)
+        dvg = next(it).astype(v_glo.dtype)
+    if has_bias:
+        db_tail = next(it)
         nloc = 9 * w2
         dbias = jnp.concatenate(
             [db_tail[..., nloc:], db_tail[..., :nloc]], axis=-1

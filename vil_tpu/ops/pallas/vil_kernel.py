@@ -455,8 +455,9 @@ def make_fused_vil_attention_halo(
 
     classes_host: TAIL-order additive-mask classes of the GLOBAL grid
     (tail_mask_classes); per-shard rows are selected by the traced
-    ``row_class`` argument. Backward recomputes through the XLA ext oracle
-    (fused halo backward is future work — docs/ROADMAP.md)."""
+    ``row_class`` argument. Backward: the fused whole-image halo kernel
+    (vil_backward.backward_whole_image_halo) when its VMEM estimate fits,
+    else recompute through the XLA ext oracle."""
     classes_host = np.asarray(classes_host, dtype=np.float32)
     nloc_cols = classes_host.shape[-1] - nglo
 
@@ -497,8 +498,38 @@ def make_fused_vil_attention_halo(
         out = fused(q, k_ext, v_ext, k_glo, v_glo, bias, row_class)
         return out, (q, k_ext, v_ext, k_glo, v_glo, bias, row_class)
 
+    def _fits_bwd(q, k_ext):
+        B, mx, my, w2, _ = q.shape
+        cols = classes_host.shape[-1]
+        comb_bytes = num_heads * classes_host.shape[0] * my * w2 * cols * 4
+        img_bytes = (
+            mx * num_heads * 5 * my * w2 * cols * 4  # live f32 score temps
+            + (4 * q.size + 4 * k_ext.size) // B * q.dtype.itemsize
+            + comb_bytes
+            + 2 * (mx + 2) * my * w2 * q.shape[-1] * 4  # dk/dv f32 accs
+        )
+        from .vil_backward import WHOLE_IMAGE_VMEM_BYTES as BWD_BUDGET
+
+        return img_bytes <= BWD_BUDGET
+
     def bwd(res, g):
         q, k_ext, v_ext, k_glo, v_glo, bias, row_class = res
+        if use_pallas and _fits_bwd(q, k_ext):
+            from .vil_backward import backward_whole_image_halo
+
+            dq, dk, dv, dkg, dvg, dbias = backward_whole_image_halo(
+                q, k_ext, v_ext, k_glo, v_glo, bias, g, classes_host,
+                row_class, num_heads,
+            )
+            if bias is not None:
+                dbias = dbias.astype(bias.dtype)
+            return (
+                dq, dk, dv,
+                dkg if k_glo is not None else None,
+                dvg if v_glo is not None else None,
+                dbias if bias is not None else None,
+                np.zeros(row_class.shape, dtype=jax.dtypes.float0),
+            )
         diff = tuple(
             a for a in (q, k_ext, v_ext, k_glo, v_glo, bias)
             if a is not None
