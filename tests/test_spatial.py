@@ -261,9 +261,11 @@ def test_gspmd_whole_model_spatial_forward():
     patch embeds, chunked attention (cyclic rolls become collective
     permutes), and the full-attention stages — logits must match the
     unsharded run. parallel/spatial.py is the hand-optimized op path; this
-    certifies the zero-code whole-model path."""
+    certifies the zero-code whole-model path through the user-facing
+    ``parallel.jit_spatial_forward`` / ``shard_image`` API."""
     from jax.sharding import NamedSharding
 
+    from vil_tpu import parallel
     from vil_tpu.models import MsViT
 
     model = MsViT(
@@ -280,16 +282,24 @@ def test_gspmd_whole_model_spatial_forward():
         vars_, x
     )
     mesh = _mesh()
-    xs = NamedSharding(mesh, P("data", "spatial"))
     rep = NamedSharding(mesh, P())
-    f = jax.jit(
-        lambda v, t: model.apply(v, t, deterministic=True),
-        in_shardings=(rep, xs),
-        out_shardings=NamedSharding(mesh, P("data")),
-    )
-    out = f(jax.device_put(vars_, rep), jax.device_put(x, xs))
+    f = parallel.jit_spatial_forward(model, mesh)
+    out = f(jax.device_put(vars_, rep), parallel.shard_image(mesh, x))
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+    # spatial-only mesh (no data axis): batch replicated, height sharded
+    from jax.sharding import Mesh
+
+    mesh_s = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("spatial",))
+    f_s = parallel.jit_spatial_forward(model, mesh_s)
+    out_s = f_s(
+        jax.device_put(vars_, NamedSharding(mesh_s, P())),
+        parallel.shard_image(mesh_s, x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(ref), atol=1e-5, rtol=1e-5
     )
 
 

@@ -146,6 +146,65 @@ def run_smoke(verbose: bool = True) -> dict:
             f"grad err {e_grad_m:.2e} -> {'PASS' if passed_m else 'FAIL'}",
             file=sys.stderr,
         )
+    # halo-input kernels (spatial/sequence parallelism, parallel/spatial.py):
+    # fwd + VJP of make_fused_vil_attention_halo compiled on the real
+    # backend. With CYCLIC halo rows the halo path must equal the unsharded
+    # cyclic oracle — one chip exercises the exact kernels an mx-sharded
+    # shard_map runs per shard (traced SMEM row-class, no-wrap row loop,
+    # halo-row dK/dV outputs).
+    wh, mxh, myh, Hh, Mh = 3, 4, 4, 2, 32
+    w2h = wh * wh
+    Ch = Hh * Mh
+    mask_h = vil_kernel.mask_to_additive(
+        masks_lib.invalid_mask(mxh, myh, 0, 0, wh, 0, 0), mxh, myh, w2h, nglo
+    )
+    classes_host, class_of = vil_kernel.tail_mask_classes(mask_h, nglo)
+    row_class = jnp.asarray(class_of, jnp.int32)
+    kh = jax.random.split(jax.random.PRNGKey(31), 6)
+    fh = lambda i, shp: jax.random.normal(kh[i], shp, jnp.float32) * scale
+    qh, kkh, vh = (fh(i, (B, mxh, myh, w2h, Ch)) for i in range(3))
+    kgh, vgh = fh(3, (B, nglo, Ch)), fh(4, (B, nglo, Ch))
+    bias_h = fh(5, (Hh, w2h, nglo + 9 * w2h))
+    fused_halo = vil_kernel.make_fused_vil_attention_halo(
+        classes_host, nglo, Hh
+    )
+
+    def _ext(t):
+        return jnp.concatenate([t[:, -1:], t, t[:, :1]], axis=1)
+
+    @jax.jit
+    def halo_pair(q, k, v, kg, vg, bias):
+        loss_h = lambda q, k, v, kg, vg, bias: jnp.sum(
+            fused_halo(q, _ext(k), _ext(v), kg, vg, bias, row_class) ** 2
+        )
+        loss_x = lambda q, k, v, kg, vg, bias: jnp.sum(
+            vil_kernel._xla_reference_mh(q, k, v, kg, vg, bias, mask_h, Hh)
+            ** 2
+        )
+        oh, gh = jax.value_and_grad(loss_h, argnums=(0, 1, 2, 3, 4, 5))(
+            q, k, v, kg, vg, bias
+        )
+        ox, gx = jax.value_and_grad(loss_x, argnums=(0, 1, 2, 3, 4, 5))(
+            q, k, v, kg, vg, bias
+        )
+        return oh, ox, gh, gx
+
+    oh, ox, gh, gx = halo_pair(qh, kkh, vh, kgh, vgh, bias_h)
+    e_fwd_h = float(jnp.abs(oh - ox))
+    e_grad_h = max(_max_err(a, b) for a, b in zip(gh, gx))
+    passed_h = e_fwd_h <= 5e-2 and e_grad_h <= 5e-3
+    ok &= passed_h
+    results["halo"] = {
+        "fwd_loss_err": round(e_fwd_h, 6),
+        "grad_max_err": round(e_grad_h, 6),
+        "pass": passed_h,
+    }
+    if verbose:
+        print(
+            f"kernel smoke [halo] loss err {e_fwd_h:.2e} "
+            f"grad err {e_grad_h:.2e} -> {'PASS' if passed_h else 'FAIL'}",
+            file=sys.stderr,
+        )
     results["ok"] = ok
     return results
 

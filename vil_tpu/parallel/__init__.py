@@ -23,3 +23,11 @@ __all__ = [
 from .mesh import fsdp_sharding, shard_like  # noqa: E402,F401
 
 __all__ += ["fsdp_sharding", "shard_like"]
+
+from .mesh import (  # noqa: E402,F401
+    jit_spatial_forward,
+    shard_image,
+    spatial_image_sharding,
+)
+
+__all__ += ["jit_spatial_forward", "shard_image", "spatial_image_sharding"]

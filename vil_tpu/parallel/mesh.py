@@ -187,6 +187,55 @@ def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
     )
 
 
+def spatial_image_sharding(mesh: Mesh, data_axis: str = "data",
+                           spatial_axis: str = "spatial") -> NamedSharding:
+    """Sharding for an NHWC image batch with HEIGHT split over the spatial
+    axis (and batch over the data axis) — the input layout of huge-image
+    spatial inference."""
+    axes = dict(mesh.shape)
+    data = data_axis if data_axis in axes else None
+    return NamedSharding(mesh, P(data, spatial_axis))
+
+
+def shard_image(mesh: Mesh, x: Any, data_axis: str = "data",
+                spatial_axis: str = "spatial") -> Any:
+    """Place an NHWC image batch with height sharded over ``spatial_axis``
+    (batch over ``data_axis`` when the mesh has one)."""
+    return jax.device_put(x, spatial_image_sharding(mesh, data_axis,
+                                                    spatial_axis))
+
+
+def jit_spatial_forward(model, mesh: Mesh, data_axis: str = "data",
+                        spatial_axis: str = "spatial"):
+    """Whole-model SPATIALLY-PARALLEL forward: one image's computation runs
+    across every chip on the ``spatial_axis`` (beyond-reference capability —
+    the reference's only parallelism is batch DDP,
+    /root/reference/src/run_experiment.py:146-152).
+
+    The input image is sharded over its HEIGHT dim (``shard_image``) and
+    params are replicated; GSPMD propagates the height sharding through the
+    patch-embed convs, the persistent chunked stage layout (the chunk-row
+    axis mx inherits the height split), and the sliding-chunk attention —
+    whose cyclic neighbor rolls lower to collective-permutes of one chunk
+    row over ICI, the same halo exchange parallel/spatial.py hand-writes at
+    op level (certified equal in tests/test_spatial.py). Use this when one
+    chip cannot hold a stage's activations (1024²+ inputs); for op-level
+    control (Pallas halo kernels) see parallel/spatial.py.
+
+    Returns a jitted ``fn(variables, x) -> logits`` with logits sharded over
+    ``data_axis``.
+    """
+    xs = spatial_image_sharding(mesh, data_axis, spatial_axis)
+    rep = replicated(mesh)
+    axes = dict(mesh.shape)
+    out = NamedSharding(mesh, P(data_axis if data_axis in axes else None))
+
+    def forward(variables, x):
+        return model.apply(variables, x, deterministic=True)
+
+    return jax.jit(forward, in_shardings=(rep, xs), out_shardings=out)
+
+
 def pad_batch(arrs, multiple: int):
     """Zero-pad leading dims to a multiple (ragged final eval batches);
     returns (padded arrays..., valid float mask)."""
