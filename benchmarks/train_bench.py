@@ -40,7 +40,14 @@ def main():
                     help="fused Pallas LayerNorm in the block pre-norms")
     ap.add_argument("--iters", type=int, nargs=2, default=(3, 12),
                     metavar=("A", "B"), help="two-point iteration counts")
+    ap.add_argument("--pair", choices=["auto", "on", "off"], default="auto",
+                    help="force head-pair GEMM merging in the backward kernels")
     args = ap.parse_args()
+
+    if args.pair != "auto":
+        from vil_tpu.ops.pallas import vil_backward
+
+        vil_backward.PAIR_HEADS = args.pair == "on"
 
     from vil_tpu.data.mixup import make_mixup_fn
     from vil_tpu.models import ARCH_ZOO, MsViT

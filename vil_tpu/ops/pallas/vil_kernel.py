@@ -56,6 +56,14 @@ import os as _os
 
 LAYOUT_HINT = _os.environ.get("VIL_TPU_LAYOUT_HINT", "") == "1"
 
+# Experiment flag (default off; A/B via VIL_TPU_BF16_EXP=1): run the softmax
+# exp on bf16 inputs when the kernel computes in bf16 — the VPU executes
+# packed bf16 elementwise ops at 2× the f32 rate. scores−m ∈ (−inf, 0]; the
+# probabilities that carry mass sit near 0 where bf16's absolute input error
+# is ~1e-3, and the output was already rounded to bf16 for the PV MXU pass.
+# The f32 denominator still accumulates from the rounded probs.
+BF16_EXP = _os.environ.get("VIL_TPU_BF16_EXP", "") == "1"
+
 
 def hint_default_layout(*arrays):
     """with_layout_constraint(default row-major) on each non-None array."""
@@ -160,7 +168,10 @@ def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
         # probability tensor never hits VMEM); denominator accumulates in
         # f32 FROM the rounded probs — consistent with what the PV matmul
         # actually consumes
-        probs = jnp.exp(scores - m).astype(q_h.dtype)
+        if BF16_EXP and q_h.dtype == jnp.bfloat16:
+            probs = jnp.exp((scores - m).astype(jnp.bfloat16))
+        else:
+            probs = jnp.exp(scores - m).astype(q_h.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
         if lse_out is not None:
             # stash the log-sum-exp L = m + log(Σe) so the backward can
