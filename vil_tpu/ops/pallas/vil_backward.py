@@ -81,6 +81,38 @@ FORCE_TILE_T = None
 PAIR_HEADS = None
 
 
+def _probs_lse(scores, lse_row, dtype):
+    """Normalized probabilities p = exp(scores − L) from the stashed LSE.
+
+    bf16 kernels run the exp on bf16 inputs (vil_kernel.BF16_EXP, default
+    on): the packed-bf16 VPU exp runs at 2× the f32 rate and the result
+    feeds the dV GEMM with no separate convert pass (inference headline
+    +17% from the same trick in the forward); f32 consumers (dS math)
+    promote inline. scores−L ∈ (−inf, 0]; mass sits near 0 where bf16's
+    absolute error is ~1e-3, and p was already rounded to bf16 for the
+    MXU either way."""
+    from . import vil_kernel
+
+    z = scores - lse_row[..., None]
+    if vil_kernel.BF16_EXP and dtype == jnp.bfloat16:
+        return jnp.exp(z.astype(jnp.bfloat16))
+    return jnp.exp(z)
+
+
+def _probs_softmax(scores, dtype):
+    """Normalized probabilities via max-sub softmax (no-LSE fallback);
+    same bf16-exp policy as _probs_lse."""
+    from . import vil_kernel
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    if vil_kernel.BF16_EXP and dtype == jnp.bfloat16:
+        e = jnp.exp((scores - m).astype(jnp.bfloat16))
+        den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        return e * (1.0 / den).astype(jnp.bfloat16)
+    e = jnp.exp(scores - m)
+    return e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+
+
 def _head_groups(H: int, M: int):
     """Static head-processing groups: pairs (+ a trailing singleton when H
     is odd) under PAIR_HEADS auto/True, else one group per head."""
@@ -313,11 +345,9 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                     )  # (my, 2W²), head-major rows like the scores
                 else:
                     lse_row = lse_ref[0, grp[0], i_row]
-                p = jnp.exp(scores - lse_row[..., None])
+                p = _probs_lse(scores, lse_row, q_g.dtype)
             else:
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                e = jnp.exp(scores - m)
-                p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                p = _probs_softmax(scores, q_g.dtype)
             dp = jax.lax.dot_general(
                 g_in, v_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -513,9 +543,7 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
         if nglo > 0:
             sg = sg_ref[0, 0][..., h * nglo : (h + 1) * nglo]
             scores = jnp.concatenate([scores, sg], axis=-1)  # tail append
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)  # (my, W2, 9W2+Nglo) f32
-        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # normalized
+        p = _probs_softmax(scores, q_h.dtype)  # (my, W2, 9W2+Nglo) normalized
 
         # dP = g · V^T (local) ‖ precomputed global columns
         dp = jax.lax.dot_general(
@@ -915,11 +943,9 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, groups, has_bias, with_lse, *refs):
                     )
                 else:
                     lse_row = lse_ref[0, grp[0], i_row]
-                p = jnp.exp(scores - lse_row[..., None])
+                p = _probs_lse(scores, lse_row, q_g.dtype)
             else:
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                e = jnp.exp(scores - m)
-                p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                p = _probs_softmax(scores, q_g.dtype)
             dp = jax.lax.dot_general(
                 g_in, v_g, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,

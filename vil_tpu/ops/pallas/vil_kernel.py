@@ -56,13 +56,15 @@ import os as _os
 
 LAYOUT_HINT = _os.environ.get("VIL_TPU_LAYOUT_HINT", "") == "1"
 
-# Experiment flag (default off; A/B via VIL_TPU_BF16_EXP=1): run the softmax
-# exp on bf16 inputs when the kernel computes in bf16 — the VPU executes
-# packed bf16 elementwise ops at 2× the f32 rate. scores−m ∈ (−inf, 0]; the
-# probabilities that carry mass sit near 0 where bf16's absolute input error
-# is ~1e-3, and the output was already rounded to bf16 for the PV MXU pass.
-# The f32 denominator still accumulates from the rounded probs.
-BF16_EXP = _os.environ.get("VIL_TPU_BF16_EXP", "") == "1"
+# Run the softmax exp on bf16 inputs when the kernel computes in bf16 — the
+# VPU executes packed bf16 elementwise ops at 2× the f32 rate and the result
+# feeds the PV/dV MXU pass with no separate f32→bf16 convert. scores−m ∈
+# (−inf, 0]; the probabilities that carry mass sit near 0 where bf16's
+# absolute input error is ~1e-3, and the output was already rounded to bf16
+# for the MXU either way. Measured: inference 5626 → 6570 img/s (+17%),
+# compiled bf16 numerics 3.6e-4 → 5.3e-4 max err (tools/tpu_kernel_smoke).
+# Default ON; opt out with VIL_TPU_BF16_EXP=0.
+BF16_EXP = _os.environ.get("VIL_TPU_BF16_EXP", "1") == "1"
 
 
 def hint_default_layout(*arrays):

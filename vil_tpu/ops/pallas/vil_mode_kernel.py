@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .vil_backward import _head_groups, _stack_bd
+from .vil_backward import _head_groups, _probs_lse, _probs_softmax, _stack_bd
 from .vil_kernel import _attend_row
 
 INTERPRET = False
@@ -225,11 +225,9 @@ def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
                 )  # (my, 2W²), head-major rows like the scores
             else:
                 lse_row = lse_ref[0, grp[0], r]
-            p = jnp.exp(scores - lse_row[..., None])
+            p = _probs_lse(scores, lse_row, q_g.dtype)
         else:
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+            p = _probs_softmax(scores, q_g.dtype)
         dp = jax.lax.dot_general(
             g_in, v_g, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
