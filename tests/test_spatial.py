@@ -303,6 +303,56 @@ def test_gspmd_whole_model_spatial_forward():
     )
 
 
+def test_spatial_train_step_matches_single_device():
+    """Full TRAIN step on a ('data','spatial') mesh — loss and updated
+    params must match the single-device step. jit_train_step shards the
+    image height over the mesh's 'spatial' axis automatically
+    (mesh._image_sharding), so ``TPU.MESH_AXES ['data','spatial']`` turns on
+    whole-model spatial parallelism from the CLI config."""
+    from vil_tpu.config import get_default_cfg
+    from vil_tpu.models import MsViT
+    from vil_tpu.train import engine
+    from vil_tpu.train import loss as L
+    from vil_tpu.train import optim as O
+
+    arch = (
+        "l1,h1,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s1,g1,p2,f2"
+        "_l3,h2,d32,n1,s0,g0,p2,f2"
+    )
+    model = MsViT(arch=arch, img_size=32, num_classes=10,
+                  attn_type="longformerhand", sharew=True)
+    cfg = get_default_cfg()
+    cfg.OPTIM.OPT = "adamw"
+    x = jnp.ones((8, 32, 32, 3))
+    state = engine.create_train_state(
+        model, O.get_opt(cfg, None, lr=1e-3), jax.random.PRNGKey(0), x
+    )
+    tx = O.get_opt(cfg, state.params, lr=1e-3)
+    state = state.replace(opt_state=tx.init(state.params))
+    step = engine.make_train_step(model, L.cross_entropy, tx,
+                                  random_shift=False)
+    rng = jax.random.PRNGKey(7)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    targets = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+
+    s1, m1 = jax.jit(step)(state, images, targets, rng)
+
+    from vil_tpu import parallel
+
+    mesh = parallel.create_mesh((-1, 4), ("data", "spatial"))
+    sharded = parallel.jit_train_step(step, mesh, donate_state=False)
+    s_sp, m_sp = sharded(
+        parallel.replicate(mesh, state),
+        parallel.shard_image(mesh, images),
+        parallel.shard_batch(mesh, targets),
+        parallel.replicate(mesh, rng),
+    )
+    assert abs(float(m1["loss"]) - float(m_sp["loss"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_halo_rows_cyclic():
     mesh = _mesh()
     x = jnp.arange(B * MX * MY * W2 * C, dtype=jnp.float32).reshape(

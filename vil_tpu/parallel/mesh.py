@@ -122,10 +122,24 @@ def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True
     data_s = batch_sharding(mesh, axis)
     return jax.jit(
         train_step,
-        in_shardings=(state_s, data_s, data_s, replicated(mesh)),
+        in_shardings=(state_s, _image_sharding(mesh, axis), data_s,
+                      replicated(mesh)),
         out_shardings=(state_s, replicated(mesh)),
         donate_argnums=(0,) if donate_state else (),
     )
+
+
+def _image_sharding(mesh: Mesh, axis: str) -> NamedSharding:
+    """Input-image sharding for the jitted steps: when the mesh declares a
+    'spatial' axis (``TPU.MESH_AXES ['data','spatial']``), the NHWC image
+    HEIGHT is sharded over it — whole-model SPATIAL parallelism straight
+    from the CLI config. GSPMD threads the height split through patch
+    embeds and the sliding-chunk attention (cyclic rolls lower to
+    collective permutes over ICI; certified exact in tests/test_spatial.py).
+    Otherwise just the batch axis."""
+    if "spatial" in mesh.shape:
+        return NamedSharding(mesh, P(axis, "spatial"))
+    return batch_sharding(mesh, axis)
 
 
 def lockstep_compile(jitted):
@@ -170,6 +184,7 @@ def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
     addressable shards (trainer ``_host_rows``)."""
     state_s = replicated(mesh)
     data_s = batch_sharding(mesh, axis)
+    img_s = _image_sharding(mesh, axis)
 
     def wrapped(variables, images, targets, valid):
         m = eval_step(variables, images, targets, valid)
@@ -182,7 +197,7 @@ def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
 
     return jax.jit(
         wrapped,
-        in_shardings=(state_s, data_s, data_s, data_s),
+        in_shardings=(state_s, img_s, data_s, data_s),
         out_shardings=None,
     )
 
