@@ -153,3 +153,72 @@ def test_fsdp_sharded_step_matches_replicated(setup):
         jax.tree_util.tree_map(lambda x: x.sharding, s_f.params)
     )
     assert any(not s.is_fully_replicated for s in shardings)
+
+
+def test_tp_sharding_specs(setup):
+    """Megatron cut: qkv/fc1 column-sharded, proj/fc2 row-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    model, tx, state = setup
+    mesh = parallel.create_mesh((2, 4), ("data", "model"))
+    sh = parallel.tp_sharding(mesh, state.params)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]
+    }
+    col = [k for k in flat if k.endswith("fc1/kernel")]
+    row = [k for k in flat if k.endswith("fc2/kernel")]
+    out = [k for k in flat if k.endswith("proj/kernel") and "Mlp" not in k]
+    assert col and row
+    assert all(flat[k].spec == P(None, "model") for k in col)
+    assert all(flat[k].spec == P("model", None) for k in row)
+    # PatchEmbed's conv is also named 'proj' — 4-D kernels must stay
+    # replicated; 2-D attention-out kernels must be row-sharded.
+    for k in out:
+        leaf = {
+            "/".join(str(getattr(p, "key", p)) for p in path): v
+            for path, v in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        }[k]
+        expect = P("model", None) if leaf.ndim == 2 else P()
+        assert flat[k].spec == expect, (k, leaf.shape, flat[k].spec)
+
+
+def test_tensor_parallel_step_matches_replicated(setup):
+    """dp×tp (2×4 mesh) train step ≡ replicated single-mesh step."""
+    model, tx, state = setup
+    step = engine.make_train_step(model, L.cross_entropy, tx, random_shift=False)
+    images = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    targets = jax.random.randint(jax.random.PRNGKey(2), (16,), 0, 10)
+    rng = jax.random.PRNGKey(7)
+
+    mesh1 = parallel.create_mesh((-1,), ("data",))
+    rep = parallel.jit_train_step(step, mesh1, donate_state=False)
+    s_rep, m_rep = rep(
+        parallel.replicate(mesh1, state),
+        parallel.shard_batch(mesh1, images),
+        parallel.shard_batch(mesh1, targets),
+        parallel.replicate(mesh1, rng),
+    )
+
+    mesh = parallel.create_mesh((2, 4), ("data", "model"))
+    sh = parallel.tp_sharding(mesh, state)
+    tp = parallel.jit_train_step(
+        step, mesh, donate_state=False, state_shardings=sh
+    )
+    s_tp, m_tp = tp(
+        parallel.shard_like(state, sh),
+        parallel.shard_batch(mesh, images),
+        parallel.shard_batch(mesh, targets),
+        jax.device_put(rng, parallel.replicated(mesh)),
+    )
+    assert abs(float(m_rep["loss"]) - float(m_tp["loss"])) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_rep.params),
+        jax.tree_util.tree_leaves(s_tp.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # the wide projections are genuinely sharded over the model axis
+    shardings = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x.sharding, s_tp.params)
+    )
+    assert any(not s.is_fully_replicated for s in shardings)

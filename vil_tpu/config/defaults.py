@@ -182,8 +182,9 @@ _k(TPU, "FUSED_LN", False)
 # mesh axes: data / fsdp-style model sharding (data-parallel reference: §2.12)
 _k(TPU, "MESH_SHAPE", [-1])  # -1 = all devices on the 'data' axis
 _k(TPU, "MESH_AXES", ["data"])
-# parameter placement: 'replicated' (pure DP) or 'fsdp' (ZeRO-3-style
-# sharding of params + optimizer state over the data axis)
+# parameter placement: 'replicated' (pure DP), 'fsdp' (ZeRO-3-style
+# sharding of params + optimizer state over the data axis), or 'tp'
+# (Megatron-style tensor parallelism over a 'model' axis in MESH_AXES)
 _k(TPU, "PARAM_SHARDING", "replicated")
 # rematerialisation policy for the train step: '', 'minimal', 'full'
 _k(TPU, "REMAT", "")

@@ -31,3 +31,7 @@ from .mesh import (  # noqa: E402,F401
 )
 
 __all__ += ["jit_spatial_forward", "shard_image", "spatial_image_sharding"]
+
+from .tensor import tp_sharding  # noqa: E402,F401
+
+__all__ += ["tp_sharding"]

@@ -128,6 +128,15 @@ class Trainer:
         if cfg.TPU.PARAM_SHARDING == "fsdp":
             self.state_shardings = parallel.fsdp_sharding(self.mesh, self.state)
             self.state = parallel.shard_like(self.state, self.state_shardings)
+        elif cfg.TPU.PARAM_SHARDING == "tp":
+            # Megatron-style tensor parallelism over the 'model' mesh axis
+            # (TPU.MESH_AXES must declare one): QKV/fc1 column-sharded,
+            # proj/fc2 row-sharded, one GSPMD all-reduce per block.
+            assert "model" in dict(self.mesh.shape), (
+                "PARAM_SHARDING 'tp' needs a 'model' axis in TPU.MESH_AXES"
+            )
+            self.state_shardings = parallel.tp_sharding(self.mesh, self.state)
+            self.state = parallel.shard_like(self.state, self.state_shardings)
         else:
             self.state_shardings = None
             self.state = parallel.replicate(self.mesh, self.state)
