@@ -17,6 +17,15 @@ partial sums are reduced.
 Used for the wide MsViT variants where one chip's HBM cannot hold the
 activations+params at a useful batch size, and composes with the 'data'
 axis (dp×tp) — see ``tp_sharding`` + ``mesh.jit_train_step``.
+
+Caveat: GSPMD cannot partition a Pallas custom call, so with
+``TPU.USE_PALLAS`` the fused attention kernels' operands are gathered to
+each chip and the kernel itself runs replicated (every GEMM around it —
+QKV, proj, MLPs, i.e. where the params are — still runs split). Splitting
+the kernels themselves over heads needs a shard_map wrapper like the
+spatial path's (parallel/spatial.py); with the pure-XLA attention tier
+the whole block partitions. Correct either way — certified ≡ replicated
+in tests/test_distributed.py.
 """
 from __future__ import annotations
 
