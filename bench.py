@@ -31,6 +31,35 @@ _enable_cache()
 A100_BASELINE_IMG_S = 333.0  # assumed A100-PyTorch ViL-Small fp16 inference
 TARGET_MULTIPLE = 3.0
 
+# peak dense bf16 matmul throughput per chip, TFLOP/s (for the MFU line —
+# the achieved-FLOPs number does NOT depend on the assumed A100 baseline)
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e (197 bf16 TFLOP/s)
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_TFLOPS.items():
+        if k.lower() in kind.lower() or kind.lower() in k.lower():
+            return v
+    return 197.0  # default: v5e
+
+
+def analytic_tflops_per_image() -> float:
+    """Analytic inference FLOPs (2 × MACs) for the benched config."""
+    from vil_tpu.models import ARCH_ZOO
+    from vil_tpu.ops.flops import model_macs
+
+    macs = model_macs(
+        ARCH_ZOO["vil_small"], img_size=224, attn_type="longformerhand"
+    )
+    return 2.0 * macs["macs"] / 1e12
+
 
 def build_model_and_vars(batch: int):
     from vil_tpu.models import ARCH_ZOO, MsViT
@@ -121,6 +150,11 @@ def main():
     # img/s; 64 wins for inference too (matches the training sweet spot)
     batch = 64
     images_per_sec = measure(batch)
+    # achieved model FLOP/s (analytic 2·MACs, ops/flops.py) and MFU against
+    # the chip's peak bf16 matmul rate — assumption-free, unlike vs_baseline
+    tf_img = analytic_tflops_per_image()
+    tflops = images_per_sec * tf_img
+    peak = peak_tflops()
     print(
         json.dumps(
             {
@@ -136,6 +170,9 @@ def main():
                     " throughput)"
                 ),
                 "batch": batch,
+                "tflops": round(tflops, 2),
+                "mfu": round(tflops / peak, 4),
+                "peak_tflops": peak,
                 "kernels_ok": kernels_ok,
             }
         )

@@ -20,6 +20,8 @@ def main():
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--train", action="store_true")
+    p.add_argument("--random-shift", action="store_true",
+                   help="profile the MODE>0 random-shift train step")
     p.add_argument("--out", default="/tmp/vil_profile")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -53,7 +55,8 @@ def main():
 
         tx = optax.adamw(1e-3)
         state = engine.create_train_state(model, tx, jax.random.PRNGKey(0), x)
-        step = jax.jit(engine.make_train_step(model, cross_entropy, tx))
+        step = jax.jit(engine.make_train_step(
+            model, cross_entropy, tx, random_shift=args.random_shift))
         y = jax.random.randint(jax.random.PRNGKey(2), (args.batch,), 0, 1000)
         step(state, x, y, jax.random.PRNGKey(3))  # compile outside trace
         with trace(args.out):

@@ -176,13 +176,22 @@ def lockstep_compile(jitted):
     return wrapped
 
 
-def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data"):
+def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data",
+                  variables_shardings=None):
     """Jit the eval step: scalar metrics replicated; per-sample outputs
     (``scores``) stay batch-sharded on their devices — replicating them
     would all-gather every per-image row to every host (reference
     GATHER_ON_CPU pain point, comm.py:90-140); hosts read back only their
-    addressable shards (trainer ``_host_rows``)."""
-    state_s = replicated(mesh)
+    addressable shards (trainer ``_host_rows``).
+
+    ``variables_shardings``: a sharding tree matching the model-variables
+    dict so tp/fsdp runs keep their param shardings at eval time instead of
+    all-gathering the whole model to every chip (the HBM regime those modes
+    exist to avoid)."""
+    state_s = (
+        variables_shardings if variables_shardings is not None
+        else replicated(mesh)
+    )
     data_s = batch_sharding(mesh, axis)
     img_s = _image_sharding(mesh, axis)
 

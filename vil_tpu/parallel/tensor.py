@@ -29,10 +29,13 @@ in tests/test_distributed.py.
 """
 from __future__ import annotations
 
+import logging
 from typing import Any
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 # Dense modules whose OUTPUT features are sharded (column parallel): the
 # QKV projections (heads split across chips) and the MLP up-projection.
@@ -40,6 +43,10 @@ COLUMN_PARALLEL = ("qkv", "query", "kv", "fc1")
 # Dense modules whose INPUT features are sharded (row parallel): their
 # outputs are partial sums that GSPMD all-reduces once per block.
 ROW_PARALLEL = ("proj", "proj_global", "fc2")
+# Packed projections: the output dim concatenates q/k/v (or k/v) blocks.
+# Splitting must not cross block boundaries, so divisibility is checked on
+# the PER-BLOCK width, not the packed output dim.
+_PACK_FACTOR = {"qkv": 3, "kv": 2}
 
 
 def _key_name(entry) -> str:
@@ -50,25 +57,45 @@ def _key_name(entry) -> str:
 
 
 def _tp_spec(path, leaf, n: int) -> P:
-    """PartitionSpec for one parameter (or mirrored optimizer moment)."""
+    """PartitionSpec for one parameter (or mirrored optimizer moment).
+
+    Falls back to replicated — with a warning — when the shape does not
+    divide cleanly: a silent fallback would leave the advertised Megatron
+    cut half-applied (e.g. kernel replicated but bias sharded) with only
+    extra GSPMD resharding collectives as evidence."""
     shape = getattr(leaf, "shape", ())
     names = [_key_name(e) for e in path]
     leaf_name = names[-1] if names else ""
     parent = names[-2] if len(names) >= 2 else ""
+    pack = _PACK_FACTOR.get(parent, 1)
 
-    def divisible(dim: int) -> bool:
-        return len(shape) > dim and shape[dim] % n == 0
+    def divisible(dim: int, pack: int = 1) -> bool:
+        # packed projections must split per-block (q/k/v separately), not
+        # across the concatenated output dim
+        return (
+            len(shape) > dim
+            and shape[dim] % pack == 0
+            and (shape[dim] // pack) % n == 0
+        )
+
+    def fallback(dim: int, pack: int = 1) -> P:
+        logger.warning(
+            "tp: %s stays REPLICATED — dim %d of %s (pack %d) does not "
+            "divide by the model axis (%d); the Megatron cut is not applied "
+            "to this leaf", "/".join(names), dim, shape, pack, n,
+        )
+        return P()
 
     if parent in COLUMN_PARALLEL:
         # flax Dense kernel is (in_features, out_features); 2-D guard keeps
         # the rule off same-named convs (e.g. PatchEmbed's 'proj' Conv).
-        if leaf_name == "kernel" and len(shape) == 2 and divisible(1):
-            return P(None, "model")
-        if leaf_name == "bias" and len(shape) == 1 and divisible(0):
-            return P("model")
+        if leaf_name == "kernel" and len(shape) == 2:
+            return P(None, "model") if divisible(1, pack) else fallback(1, pack)
+        if leaf_name == "bias" and len(shape) == 1:
+            return P("model") if divisible(0, pack) else fallback(0, pack)
     if parent in ROW_PARALLEL:
-        if leaf_name == "kernel" and len(shape) == 2 and divisible(0):
-            return P("model", None)
+        if leaf_name == "kernel" and len(shape) == 2:
+            return P("model", None) if divisible(0) else fallback(0)
         # row-parallel bias stays replicated: it is added AFTER the
         # partial-sum all-reduce.
     return P()

@@ -83,7 +83,7 @@ class Trainer:
             # (run_experiment.py:233); TPU equivalent: nan-checking jit
             jax.config.update("jax_debug_nans", True)
         self.mesh = mesh if mesh is not None else parallel.mesh_from_cfg(cfg)
-        self.model = build_model(cfg)
+        self.model = build_model(cfg, mesh=self.mesh)
         self.mixup_fn = mixup_from_cfg(cfg)
         self.criterion = get_criterion(cfg, train=True)
         self.criterion_eval = get_criterion(cfg, train=False)
@@ -95,11 +95,15 @@ class Trainer:
         )
         self.trainloader = None
         if not cfg.EVALUATE:
-            n_dev = int(self.mesh.devices.size)
-            if cfg.DATALOADER.BSZ % n_dev != 0:
+            # the batch is sharded over the 'data' axis only (model/spatial
+            # axes replicate or split other dims), so divisibility is
+            # against that axis — not the full device count
+            axes = dict(self.mesh.shape)
+            n_data = int(axes.get("data", self.mesh.devices.size))
+            if cfg.DATALOADER.BSZ % n_data != 0:
                 raise ValueError(
                     f"DATALOADER.BSZ ({cfg.DATALOADER.BSZ}) must be divisible "
-                    f"by the number of devices ({n_dev}) for training "
+                    f"by the 'data' mesh axis size ({n_data}) for training "
                     f"(eval pads ragged batches; the train loop does not)"
                 )
             self.trainloader = make_epoch_data_loader(
@@ -132,9 +136,10 @@ class Trainer:
             # Megatron-style tensor parallelism over the 'model' mesh axis
             # (TPU.MESH_AXES must declare one): QKV/fc1 column-sharded,
             # proj/fc2 row-sharded, one GSPMD all-reduce per block.
-            assert "model" in dict(self.mesh.shape), (
-                "PARAM_SHARDING 'tp' needs a 'model' axis in TPU.MESH_AXES"
-            )
+            if "model" not in dict(self.mesh.shape):
+                raise ValueError(
+                    "PARAM_SHARDING 'tp' needs a 'model' axis in TPU.MESH_AXES"
+                )
             self.state_shardings = parallel.tp_sharding(self.mesh, self.state)
             self.state = parallel.shard_like(self.state, self.state_shardings)
         else:
@@ -201,8 +206,17 @@ class Trainer:
                 # results.pth, engine.py:264-268)
                 pred_topk=5 if self.cfg.EVALUATE else 0,
             )
+            # keep tp/fsdp param shardings at eval time (don't all-gather
+            # the model to every chip)
+            var_shardings = None
+            if self.state_shardings is not None:
+                var_shardings = {"params": self.state_shardings.params}
+                if self.state.buffers:
+                    var_shardings.update(self.state_shardings.buffers)
             self._eval_step = parallel.mesh.lockstep_compile(
-                parallel.jit_eval_step(estep, self.mesh)
+                parallel.jit_eval_step(
+                    estep, self.mesh, variables_shardings=var_shardings
+                )
             )
         return self._eval_step
 
