@@ -222,3 +222,77 @@ def test_tensor_parallel_step_matches_replicated(setup):
         jax.tree_util.tree_map(lambda x: x.sharding, s_tp.params)
     )
     assert any(not s.is_fully_replicated for s in shardings)
+
+
+def test_tensor_parallel_pallas_head_shard(monkeypatch):
+    """tp + fused Pallas kernels: shard_map splits the kernels over HEADS on
+    the model axis (models/attention._tp_shard_call) — train step ≡ the
+    replicated-kernel run, for both the full-neighborhood (mode 0) and the
+    sampled-neighbor (random-shift MODE>0) kernel families. Interpret-mode
+    kernels on the 8-device CPU mesh; stage 3 exercises the fused
+    full-attention kernel the same way."""
+    from vil_tpu.ops.pallas import (
+        full_attention, vil_backward, vil_kernel, vil_mode_kernel,
+    )
+
+    monkeypatch.setattr(vil_kernel, "INTERPRET", True)
+    monkeypatch.setattr(vil_backward, "INTERPRET", True)
+    monkeypatch.setattr(vil_mode_kernel, "INTERPRET", True)
+    monkeypatch.setattr(full_attention, "INTERPRET", True)
+
+    arch2 = (
+        "l1,h2,d16,n1,s1,g1,p4,f2_l2,h2,d32,n1,s1,g1,p2,f2"
+        "_l3,h2,d32,n1,s0,g0,p2,f2"
+    )
+    mesh = parallel.create_mesh((2, 2), ("data", "model"))
+    cfg = get_default_cfg()
+    cfg.OPTIM.OPT = "adamw"
+
+    def build(tp_mesh):
+        model = MsViT(
+            arch=arch2, img_size=32, num_classes=10,
+            attn_type="longformerhand", sharew=True, use_pallas=True,
+            tp_mesh=tp_mesh,
+        )
+        x = jnp.ones((8, 32, 32, 3))
+        state = engine.create_train_state(
+            model, O.get_opt(cfg, None, lr=1e-3), jax.random.PRNGKey(0), x
+        )
+        tx = O.get_opt(cfg, state.params, lr=1e-3)
+        return model, tx, state.replace(opt_state=tx.init(state.params))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    targets = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    rng = jax.random.PRNGKey(7)
+
+    for random_shift in (False, True):
+        # replicated-kernel single-mesh run (no tp_mesh)
+        model_r, tx_r, state_r = build(None)
+        step_r = engine.make_train_step(
+            model_r, L.cross_entropy, tx_r, random_shift=random_shift
+        )
+        s1, m1 = jax.jit(step_r)(state_r, images, targets, rng)
+
+        # head-sharded kernels on the dp×tp mesh
+        model_t, tx_t, state_t = build(mesh)
+        step_t = engine.make_train_step(
+            model_t, L.cross_entropy, tx_t, random_shift=random_shift
+        )
+        sh = parallel.tp_sharding(mesh, state_t)
+        tp = parallel.jit_train_step(
+            step_t, mesh, donate_state=False, state_shardings=sh
+        )
+        s2, m2 = tp(
+            parallel.shard_like(state_t, sh),
+            parallel.shard_batch(mesh, images),
+            parallel.shard_batch(mesh, targets),
+            jax.device_put(rng, parallel.replicated(mesh)),
+        )
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5, random_shift
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )

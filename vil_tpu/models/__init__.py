@@ -19,9 +19,14 @@ MODEL_REGISTRY = {
 }
 
 
-def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
+def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None,
+                mesh=None) -> MsViT:
     """Construct the model from a config tree (cfg → kwargs mapping mirrors
-    reference models/__init__.py:37-52)."""
+    reference models/__init__.py:37-52).
+
+    ``mesh``: pass the device mesh when ``TPU.PARAM_SHARDING == 'tp'`` so
+    the fused Pallas attention kernels are shard_map'd over heads on the
+    'model' axis instead of running replicated (parallel/tensor.py)."""
     name = cfg.MODEL.ARCH
     if name in RESNET_ZOO:
         # torchvision baseline zoo (reference models/__init__.py:25-34),
@@ -84,6 +89,14 @@ def build_model(cfg, dtype=None, param_dtype=None, use_pallas=None) -> MsViT:
         args["fused_ln"] = bool(cfg.TPU.FUSED_LN) and use_pallas
         if cfg.TPU.REMAT and cfg.MODEL.VIT.MSVIT.MODE <= 0:
             args["remat"] = cfg.TPU.REMAT
+        if (
+            mesh is not None
+            and use_pallas
+            and cfg.TPU.PARAM_SHARDING == "tp"
+            and "model" in dict(mesh.shape)
+        ):
+            args["tp_mesh"] = mesh
+            args["tp_axis"] = "model"
     logging.info("=> creating model '%s'", name)
     return MODEL_REGISTRY[name](
         num_classes=cfg.DATA.NUM_CLASSES,

@@ -31,6 +31,50 @@ from .layers import trunc_normal_init
 Mode = Union[int, jax.Array]
 
 
+def _tp_shard_call(mesh, axis, fn, arg_specs, out_spec, args):
+    """Run ``fn`` under ``jax.shard_map`` with the packed-head channel axis
+    of the fused-attention operands split over the tensor-parallel mesh
+    ``axis`` (None args and their specs are dropped).
+
+    GSPMD cannot partition a Pallas custom call, so without this wrapper a
+    ``PARAM_SHARDING tp`` run gathers the kernel operands and replicates the
+    attention compute on every model-parallel chip. Heads are independent
+    through the whole kernel (softmax is per-head), so splitting channels =
+    splitting heads is exact; each shard runs the kernel with H/n heads and
+    its own slice of the per-head RPE bias. Gradients flow through the
+    shard_map transpose automatically (channel-sharded dQ/dK/dV, per-head
+    dbias — no extra collectives)."""
+    from jax.sharding import PartitionSpec  # noqa: F401 (doc reference)
+
+    keep = [i for i, a in enumerate(args) if a is not None]
+
+    def call(*xs):
+        full: list = [None] * len(args)
+        for j, i in enumerate(keep):
+            full[i] = xs[j]
+        return fn(*full)
+
+    sharded = jax.shard_map(
+        call,
+        mesh=mesh,
+        in_specs=tuple(arg_specs[i] for i in keep),
+        out_specs=out_spec,
+        # pallas_call out_shapes carry no varying-mesh-axes info (same
+        # caveat as the spatial halo path, parallel/spatial.py)
+        check_vma=False,
+    )
+    return sharded(*[args[i] for i in keep])
+
+
+def _tp_batch_axis(mesh, batch: int):
+    """'data' when the mesh has a data axis that divides the batch (keeps
+    the batch split instead of gathering it into every shard), else None."""
+    axes = dict(mesh.shape)
+    if "data" in axes and batch % int(axes["data"]) == 0:
+        return "data"
+    return None
+
+
 def _split_heads(t: jax.Array, num_heads: int) -> jax.Array:
     """(B, N, C) → (B, H, N, M)."""
     b, n, c = t.shape
@@ -65,6 +109,10 @@ class FullAttention(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # tensor parallelism: shard_map the fused kernel over heads on this mesh
+    # axis (None = off; see _tp_shard_call)
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(
@@ -91,16 +139,33 @@ class FullAttention(nn.Module):
         # Falls back to XLA when attention dropout is active or the shapes
         # exceed the kernel's VMEM budget.
         attn_drop_active = self.attn_drop > 0.0 and not deterministic
+        tp_n = 1
+        if self.tp_mesh is not None:
+            tp_n = int(dict(self.tp_mesh.shape).get(self.tp_axis, 1))
+        head_shard = tp_n > 1 and H % tp_n == 0
+        n_loc = tp_n if head_shard else 1
         if (
             self.use_pallas
             and not attn_drop_active
-            and full_attention.supported(B, N, C, H, bias is not None)
+            and full_attention.supported(
+                B, N, C // n_loc, H // n_loc, bias is not None
+            )
             and (jax.default_backend() == "tpu" or full_attention.INTERPRET)
         ):
             q_tok, k_tok, v_tok = jnp.split(qkv, 3, axis=-1)
-            fused = full_attention.make_fused_full_attention(H)
-            out = fused(q_tok * scale, k_tok, v_tok,
-                        None if bias is None else bias.astype(jnp.float32))
+            fused = full_attention.make_fused_full_attention(H // n_loc)
+            bias_f = None if bias is None else bias.astype(jnp.float32)
+            if head_shard:
+                from jax.sharding import PartitionSpec as P
+
+                tok = P(_tp_batch_axis(self.tp_mesh, B), None, self.tp_axis)
+                out = _tp_shard_call(
+                    self.tp_mesh, self.tp_axis, fused,
+                    (tok, tok, tok, P(self.tp_axis, None, None)), tok,
+                    (q_tok * scale, k_tok, v_tok, bias_f),
+                )
+            else:
+                out = fused(q_tok * scale, k_tok, v_tok, bias_f)
             out = nn.Dense(
                 self.dim,
                 dtype=self.dtype,
@@ -210,6 +275,10 @@ class VilAttention(nn.Module):
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # tensor parallelism: shard_map the fused kernels over heads on this
+    # mesh axis (None = off; see _tp_shard_call)
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(
@@ -341,6 +410,13 @@ class VilAttention(nn.Module):
                 and not attn_drop_active
                 and (on_tpu or vil_mode_kernel.INTERPRET)
             )
+            # tensor parallelism: split the fused kernels over heads via
+            # shard_map (GSPMD cannot partition a custom call)
+            tp_n = 1
+            if self.tp_mesh is not None:
+                tp_n = int(dict(self.tp_mesh.shape).get(self.tp_axis, 1))
+            head_shard = tp_n > 1 and H % tp_n == 0
+            n_loc = tp_n if head_shard else 1
             if use_fused:
                 mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, W, self.exact, 0)
                 mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, W2, Nglo)
@@ -357,16 +433,18 @@ class VilAttention(nn.Module):
                     else:
                         bias_full = local_bias
                     bias_full = bias_full.astype(jnp.float32)
-                fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
+                fused = vil_kernel.make_fused_vil_attention_mh(
+                    mask_add, H // n_loc
+                )
                 if chunked_in:
-                    x1 = fused(
+                    f_args = (
                         q_img_c, k_img_c, v_img_c,
                         kg_tok if Nglo >= 1 else None,
                         vg_tok if Nglo >= 1 else None,
                         bias_full,
-                    )  # stays (B, mx, my, W², C)
+                    )
                 else:
-                    x1 = fused(
+                    f_args = (
                         sc.chunkify(q_tok, nx, ny, W),
                         sc.chunkify(k_tok[:, Nglo:], nx, ny, W),
                         sc.chunkify(v_tok[:, Nglo:], nx, ny, W),
@@ -374,6 +452,21 @@ class VilAttention(nn.Module):
                         vg_tok if Nglo >= 1 else None,
                         bias_full,
                     )
+                if head_shard:
+                    from jax.sharding import PartitionSpec as P
+
+                    dn = _tp_batch_axis(self.tp_mesh, B)
+                    chans = P(dn, None, None, None, self.tp_axis)
+                    glo = P(dn, None, self.tp_axis)
+                    x1 = _tp_shard_call(
+                        self.tp_mesh, self.tp_axis, fused,
+                        (chans, chans, chans, glo, glo,
+                         P(self.tp_axis, None, None)),
+                        chans, f_args,
+                    )
+                else:
+                    x1 = fused(*f_args)
+                if not chunked_in:
                     x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
             elif use_fused_mode:
                 if chunked_in:
@@ -382,13 +475,11 @@ class VilAttention(nn.Module):
                     q_img = sc.chunkify(q_tok, nx, ny, W)
                     k_img_m = sc.chunkify(k_tok[:, Nglo:], nx, ny, W)
                     v_img_m = sc.chunkify(v_tok[:, Nglo:], nx, ny, W)
-                if traced_mode:
-                    shift = jnp.asarray(sc.MODE_ROLL_SHIFTS)[mode]
-                    s_x, s_y = shift[0], shift[1]
-                else:
-                    s_x, s_y = (int(s) for s in sc.MODE_ROLL_SHIFTS[int(mode)])
-                knb = sc._roll2d(k_img_m, s_x, s_y)
-                vnb = sc._roll2d(v_img_m, s_x, s_y)
+                # sampled-block alignment: static-roll lax.switch branches
+                # for traced modes (one slice+concat copy, not a dynamic
+                # doubled-array roll — see sc.sampled_roll)
+                knb = sc.sampled_roll(k_img_m, mode)
+                vnb = sc.sampled_roll(v_img_m, mode)
                 # row-class mask table + static class_of: the whole-image
                 # mode kernels take ONE combined bias+mask table (a single
                 # VPU score add; see mode_tail_mask_classes)
@@ -414,14 +505,28 @@ class VilAttention(nn.Module):
                         bias_tail = local_bias
                     bias_tail = bias_tail.astype(jnp.float32)
                 fused = vil_mode_kernel.make_fused_mode_attention(
-                    H, class_of=mode_class_of
+                    H // n_loc, class_of=mode_class_of
                 )
-                x1 = fused(
+                f_args = (
                     q_img, k_img_m, knb, v_img_m, vnb,
                     kg_tok if Nglo >= 1 else None,
                     vg_tok if Nglo >= 1 else None,
                     bias_tail, mask_tail,
-                )  # (B, mx, my, W², C)
+                )
+                if head_shard:
+                    from jax.sharding import PartitionSpec as P
+
+                    dn = _tp_batch_axis(self.tp_mesh, B)
+                    chans = P(dn, None, None, None, self.tp_axis)
+                    glo = P(dn, None, self.tp_axis)
+                    x1 = _tp_shard_call(
+                        self.tp_mesh, self.tp_axis, fused,
+                        (chans, chans, chans, chans, chans, glo, glo,
+                         P(self.tp_axis, None, None), P()),
+                        chans, f_args,
+                    )
+                else:
+                    x1 = fused(*f_args)  # (B, mx, my, W², C)
                 if not chunked_in:
                     x1 = sc.unchunkify(x1, nx, ny, W)  # (B, Nloc, C)
             else:

@@ -68,6 +68,10 @@ class AttnBlock(nn.Module):
     param_dtype: Any = jnp.float32
     use_pallas: bool = False
     fused_ln: bool = False
+    # tensor parallelism: shard_map the fused kernels over heads on this
+    # mesh axis (None = off; models/attention._tp_shard_call)
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     def setup(self):
         self.norm = make_layer_norm(
@@ -86,7 +90,8 @@ class AttnBlock(nn.Module):
         if self.attn_type == "full":
             self.attn = FullAttention(
                 rpe=self.rpe, wx=self.wx, wy=self.wy, nglo=self.nglo,
-                use_pallas=self.use_pallas, **common
+                use_pallas=self.use_pallas, tp_mesh=self.tp_mesh,
+                tp_axis=self.tp_axis, **common
             )
         elif self.attn_type in LONGFORMER_TYPES:
             # hand/auto differed only in torch-autograd strategy and _cuda in
@@ -100,6 +105,8 @@ class AttnBlock(nn.Module):
                 exact=self.sw_exact,
                 rpe=self.rpe,
                 use_pallas=self.use_pallas,
+                tp_mesh=self.tp_mesh,
+                tp_axis=self.tp_axis,
                 **common,
             )
         elif self.attn_type == "linformer":
@@ -231,6 +238,10 @@ class MsViT(nn.Module):
     # device-side channel normalization for uint8 inputs (INPUT.MEAN/STD)
     input_mean: tuple = (0.485, 0.456, 0.406)
     input_std: tuple = (0.229, 0.224, 0.225)
+    # tensor parallelism: when set, the fused Pallas attention kernels are
+    # shard_map'd over heads on this mesh axis (see parallel/tensor.py)
+    tp_mesh: Any = None
+    tp_axis: str = "model"
 
     @property
     def layer_cfgs(self) -> list[StageCfg]:
@@ -346,6 +357,8 @@ class MsViT(nn.Module):
                             param_dtype=self.param_dtype,
                             use_pallas=self.use_pallas,
                             fused_ln=self.fused_ln,
+                            tp_mesh=self.tp_mesh,
+                            tp_axis=self.tp_axis,
                             name=f"stage{sid + 1}_block{bid}_attn",
                         ),
                         MlpBlock(

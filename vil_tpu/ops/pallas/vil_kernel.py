@@ -61,9 +61,12 @@ LAYOUT_HINT = _os.environ.get("VIL_TPU_LAYOUT_HINT", "") == "1"
 # feeds the PV/dV MXU pass with no separate f32→bf16 convert. scores−m ∈
 # (−inf, 0]; the probabilities that carry mass sit near 0 where bf16's
 # absolute input error is ~1e-3, and the output was already rounded to bf16
-# for the MXU either way. Measured: inference 5626 → 6570 img/s (+17%),
-# compiled bf16 numerics 3.6e-4 → 5.3e-4 max err (tools/tpu_kernel_smoke).
-# Default ON; opt out with VIL_TPU_BF16_EXP=0.
+# for the MXU either way. Clean serialized A/Bs (docs/BENCHMARKS.md:20) show
+# the flag is NEUTRAL on both headlines (inference ON 5645 / OFF 5731, train
+# ON 1598 / OFF 1605 — within run-to-run spread); an earlier "+17%" reading
+# did not reproduce. Kept default ON as the numerics-safe packing choice
+# (compiled max err 5.3e-4 vs 3.6e-4, tools/tpu_kernel_smoke); opt out with
+# VIL_TPU_BF16_EXP=0. No throughput win is claimed.
 BF16_EXP = _os.environ.get("VIL_TPU_BF16_EXP", "1") == "1"
 
 

@@ -17,12 +17,13 @@ parallel:
       arrays (the per-mode tables are gathered from an 8-stack XLA-side —
       one compilation serves all modes).
   backward: single fused pass (no stash, no cross-row accumulation):
-      recompute P/dS, dQ = dS·[K_cat] in one GEMM, dK/dV for the self and
-      sampled columns are per-chunk transposed GEMMs written to separate
-      outputs — the inverse roll of the sampled-block grads is XLA autodiff's
-      job (the custom_vjp boundary takes k_nb/v_nb as inputs, so d(roll) is
-      derived for free). dbias accumulates in-kernel across the grid; the
-      tiny global columns go through pg/dsg epilogue einsums (_glo_grads).
+      recompute P/dS, dQ = dS·[K_cat] in one GEMM, dK/dV via ONE wide
+      (my, 2W²+Nglo, G·M) transposed GEMM per tensor whose self/sampled
+      slices go to separate outputs — the inverse roll of the sampled-block
+      grads is XLA autodiff's job (the custom_vjp boundary takes k_nb/v_nb
+      as inputs, so d(roll) is derived for free). dbias AND dK_glo/dV_glo
+      accumulate in-kernel across the grid (r3 — the former pg/dS_glo
+      outputs fed XLA epilogue einsums with relayout-copy costs).
 
 Replaces the pure-XLA tier for MODE>0 training steps (it remains the
 fallback for attention dropout / mode -1 / CPU).
@@ -47,32 +48,6 @@ INTERPRET = False
 WHOLE_IMAGE_VMEM_BYTES = 48 * 2**20
 
 _NEG_INF = float(np.finfo(np.float32).min) / 2
-
-
-def _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H):
-    """dK_glo/dV_glo epilogue einsums over the kernel-emitted normalized
-    global columns. Contraction runs in the INPUT dtype with f32
-    accumulation — casting the full q/g to f32 here materializes ~10 MB
-    relayout copies per stage (measured ~1.4 ms/step in the train profile);
-    the tiny pg/dsg tensors are cast down instead. (The full-neighborhood
-    backward kernels in vil_backward.py accumulate these grads in-kernel
-    since r2; the mode path keeps the epilogue — its pg/dsg tensors carry
-    only 2W²+Nglo columns and the extra kernel outputs aren't worth the
-    VMEM at the mode kernel's per-chunk grid.)"""
-    B, mx, my, w2, C = q.shape
-    nglo = k_glo.shape[1]
-    M = C // H
-    pg5 = pg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
-    dsg5 = dsg_out.reshape(B, mx, my, w2, H, nglo).astype(q.dtype)
-    q5 = q.reshape(B, mx, my, w2, H, M)
-    g5 = g.reshape(B, mx, my, w2, H, M)
-    dkg = jnp.einsum(
-        "bxywhg,bxywhm->bghm", dsg5, q5, preferred_element_type=jnp.float32
-    ).reshape(B, nglo, C).astype(k_glo.dtype)
-    dvg = jnp.einsum(
-        "bxywhg,bxywhm->bghm", pg5, g5, preferred_element_type=jnp.float32
-    ).reshape(B, nglo, C).astype(v_glo.dtype)
-    return dkg, dvg
 
 
 def _cat2(a, b, extra=None):
@@ -164,8 +139,13 @@ def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, with_lse, class_of,
 
 def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
              vg_row, bias_grp, mask, lse_ref, g_row, outs, r, comb_row=None):
-    """Backward for one chunk-row. ``outs`` = (dq, dks, dknb, dvs, dvnb,
-    pg?, dsg?) refs indexed at [0, r]; returns per-head dbias list.
+    """Backward for one chunk-row. ``outs`` = (dq, dks, dknb, dvs, dvnb)
+    refs indexed at [0, r]; returns (per-head dbias list, dkg_row, dvg_row)
+    where dkg_row/dvg_row are per-(glo index, group) (1, G·M) f32
+    contributions — dK_glo/dV_glo accumulate IN-KERNEL (r3; the former
+    pg/dS_glo HBM outputs fed XLA epilogue einsums that materialized f32
+    relayout copies of the whole q/g, like the full-neighborhood path's
+    pre-r2 design).
     ``lse_ref`` (1, H, rows, my, W²) | None: forward-stashed log-sum-exp —
     normalized probs in one exp pass (see vil_backward._bwd_kernel_img).
     ``comb_row`` (combp_ref, combs_ref, rc) | None: combined bias+mask class
@@ -181,8 +161,11 @@ def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
     C = q_row.shape[-1]
     M = C // H
     nloc = 2 * w2
-    dq_ref, dks_ref, dknb_ref, dvs_ref, dvnb_ref, pg_ref, dsg_ref = outs
+    dq_ref, dks_ref, dknb_ref, dvs_ref, dvnb_ref = outs
     db = [None] * H
+    nG = len(groups)
+    dkg_row = [[None] * nG for _ in range(nglo)]
+    dvg_row = [[None] * nG for _ in range(nglo)]
     n_pair = sum(1 for grp in groups if len(grp) == 2)
     mask2 = None
     if mask is not None and n_pair:
@@ -245,33 +228,43 @@ def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
             dq_ref[0, r, :, :, h * M : (h + 1) * M] = dq_out[
                 :, j * w2 : (j + 1) * w2, j * M : (j + 1) * M
             ].astype(dq_ref.dtype)
+        # ONE wide (my, 2W²+Nglo, G·M) transposed-contribution GEMM per
+        # tensor, then static sublane slices — the global columns ride the
+        # SAME GEMMs (output area grows by Nglo/2W² ≈ 1%) and dK_glo/dV_glo
+        # become a (1, G·M) slice + reduce, mirroring the full-neighborhood
+        # whole-image kernel (vil_backward._bwd_kernel_img).
+        dk_wide = jax.lax.dot_general(
+            ds_c, q_in, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (my, 2W²+Nglo, G·M) — block-diag q_in separates the heads' lanes
+        dv_wide = jax.lax.dot_general(
+            p_c, g_in, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
         for c0, dk_ref_, dv_ref_ in (
             (0, dks_ref, dvs_ref), (w2, dknb_ref, dvnb_ref)
         ):
-            dk_b = jax.lax.dot_general(
-                ds_c[:, :, c0 : c0 + w2], q_in, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (my, W², G·M) — block-diag q_in separates the heads' lanes
-            dv_b = jax.lax.dot_general(
-                p_c[:, :, c0 : c0 + w2], g_in, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            dk_ref_[0, r, :, :, hs : hs + gm] = dk_b.astype(dk_ref_.dtype)
-            dv_ref_[0, r, :, :, hs : hs + gm] = dv_b.astype(dv_ref_.dtype)
-        if nglo > 0:
-            for j, h in enumerate(grp):
-                pg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = p[
-                    :, j * w2 : (j + 1) * w2, nloc:
-                ].astype(pg_ref.dtype)
-                dsg_ref[0, r, :, :, h * nglo : (h + 1) * nglo] = ds[
-                    :, j * w2 : (j + 1) * w2, nloc:
-                ].astype(dsg_ref.dtype)
+            dk_ref_[0, r, :, :, hs : hs + gm] = dk_wide[
+                :, c0 : c0 + w2
+            ].astype(dk_ref_.dtype)
+            dv_ref_[0, r, :, :, hs : hs + gm] = dv_wide[
+                :, c0 : c0 + w2
+            ].astype(dv_ref_.dtype)
+        for gi in range(nglo):
+            # 3-D slice keeps the reduce on the UNTILED major (my) axis
+            # (a 2-D slice would put my on sublanes at the glo row's nonzero
+            # sublane offset, which Mosaic's multi_reduction rejects)
+            g0 = nloc + gi
+            dkg_row[gi][gidx] = jnp.sum(
+                dk_wide[:, g0 : g0 + 1, :], axis=0
+            )  # (1, G·M)
+            dvg_row[gi][gidx] = jnp.sum(dv_wide[:, g0 : g0 + 1, :], axis=0)
         if has_bias:
             for j, h in enumerate(grp):
                 db[h] = jnp.sum(
                     ds[:, j * w2 : (j + 1) * w2], axis=0
                 )  # (W², cols) f32, tail order
-    return db
+    return db, dkg_row, dvg_row
 
 
 def _split_bwd_refs(nglo, has_bias, with_lse, n_comb, refs):
@@ -297,14 +290,15 @@ def _split_bwd_refs(nglo, has_bias, with_lse, n_comb, refs):
     lse_ref = None
     if with_lse:
         lse_ref = refs[i]; i += 1
-    outs = list(refs[i : i + 5]); i += 5
-    outs += [refs[i], refs[i + 1]] if nglo > 0 else [None, None]
+    outs = tuple(refs[i : i + 5]); i += 5
+    dkg_ref = dvg_ref = None
     if nglo > 0:
-        i += 2
+        dkg_ref = refs[i]; i += 1  # (1, Nglo, C) f32 per-image accumulators
+        dvg_ref = refs[i]; i += 1
     dbias_ref = refs[i] if has_bias else None
     return (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row,
-            bias_tail, mask_ref, comb_refs, g_ref, lse_ref, tuple(outs),
-            dbias_ref)
+            bias_tail, mask_ref, comb_refs, g_ref, lse_ref, outs,
+            dkg_ref, dvg_ref, dbias_ref)
 
 
 def _comb_pair(comb_refs, groups):
@@ -332,17 +326,33 @@ def _pair_bias(bias_tail, groups):
 
 def _bwd_kernel_row(nglo, w2, H, groups, has_bias, with_lse, *refs):
     (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
-     mask_ref, _comb, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
-        nglo, has_bias, with_lse, 0, refs)
+     mask_ref, _comb, g_ref, lse_ref, outs, dkg_ref, dvg_ref,
+     dbias_ref) = _split_bwd_refs(nglo, has_bias, with_lse, 0, refs)
     b_idx, i_idx = pl.program_id(0), pl.program_id(1)
     first = jnp.logical_and(b_idx == 0, i_idx == 0)
     # row-grid blocks are (1, 1, ...): re-point outs at row index 0
-    db = _bwd_row(
+    db, dkg_row, dvg_row = _bwd_row(
         nglo, w2, H, groups, has_bias, q_ref[0, 0], ks_ref[0, 0],
         knb_ref[0, 0], vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg_row,
         _pair_bias(bias_tail, groups), mask_ref[0],
         lse_ref, g_ref[0, 0], outs, 0,
     )
+    # dK_glo/dV_glo: (b, i) grid steps for one image are consecutive (i is
+    # the inner dim), so the constant-index (1, Nglo, C) output block
+    # accumulates per image across chunk rows
+    for gi in range(nglo):
+        dkg_t = jnp.concatenate(dkg_row[gi], axis=-1)  # (1, C) f32
+        dvg_t = jnp.concatenate(dvg_row[gi], axis=-1)
+
+        @pl.when(i_idx == 0)
+        def _(gi=gi, dkg_t=dkg_t, dvg_t=dvg_t):
+            dkg_ref[0, gi : gi + 1] = dkg_t
+            dvg_ref[0, gi : gi + 1] = dvg_t
+
+        @pl.when(i_idx != 0)
+        def _(gi=gi, dkg_t=dkg_t, dvg_t=dvg_t):
+            dkg_ref[0, gi : gi + 1] += dkg_t
+            dvg_ref[0, gi : gi + 1] += dvg_t
     if has_bias:
         for h in range(H):
             @pl.when(first)
@@ -357,16 +367,19 @@ def _bwd_kernel_row(nglo, w2, H, groups, has_bias, with_lse, *refs):
 def _bwd_kernel_img(nglo, w2, mx, H, groups, has_bias, with_lse, class_of,
                     n_comb, *refs):
     (q_ref, ks_ref, knb_ref, vs_ref, vnb_ref, kg_row, vg_row, bias_tail,
-     mask_ref, comb_refs, g_ref, lse_ref, outs, dbias_ref) = _split_bwd_refs(
-        nglo, has_bias, with_lse, n_comb, refs)
+     mask_ref, comb_refs, g_ref, lse_ref, outs, dkg_ref, dvg_ref,
+     dbias_ref) = _split_bwd_refs(nglo, has_bias, with_lse, n_comb, refs)
     b_idx = pl.program_id(0)
     combp_ref = combs_ref = None
     if comb_refs:
         combp_ref, combs_ref = _comb_pair(comb_refs, groups)
     bias_grp = _pair_bias(bias_tail, groups)
+    nG = len(groups)
     db_acc = [None] * H
+    dkg_acc = [[None] * nG for _ in range(nglo)]
+    dvg_acc = [[None] * nG for _ in range(nglo)]
     for r in range(mx):
-        db = _bwd_row(
+        db, dkg_row, dvg_row = _bwd_row(
             nglo, w2, H, groups, has_bias, q_ref[0, r], ks_ref[0, r],
             knb_ref[0, r], vs_ref[0, r], vnb_ref[0, r], kg_row, vg_row,
             bias_grp,
@@ -377,9 +390,22 @@ def _bwd_kernel_img(nglo, w2, mx, H, groups, has_bias, with_lse, class_of,
                 else (combp_ref, combs_ref, class_of[r])
             ),
         )
+        for gi in range(nglo):
+            for gidx in range(nG):
+                dkg_acc[gi][gidx] = (
+                    dkg_row[gi][gidx] if dkg_acc[gi][gidx] is None
+                    else dkg_acc[gi][gidx] + dkg_row[gi][gidx]
+                )
+                dvg_acc[gi][gidx] = (
+                    dvg_row[gi][gidx] if dvg_acc[gi][gidx] is None
+                    else dvg_acc[gi][gidx] + dvg_row[gi][gidx]
+                )
         if has_bias:
             for h in range(H):
                 db_acc[h] = db[h] if db_acc[h] is None else db_acc[h] + db[h]
+    for gi in range(nglo):
+        dkg_ref[0, gi : gi + 1] = jnp.concatenate(dkg_acc[gi], axis=-1)
+        dvg_ref[0, gi : gi + 1] = jnp.concatenate(dvg_acc[gi], axis=-1)
     if has_bias:
         for h in range(H):
             @pl.when(b_idx == 0)
@@ -687,19 +713,18 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     out_specs = [img_spec] * 5
     out_shapes = [jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(5)]
     if nglo > 0:
-        hn = H * nglo
-        pg_spec = pl.BlockSpec(
-            (1, mx, my, w2, hn) if whole_image else (1, 1, my, w2, hn),
-            (lambda b: (b, 0, 0, 0, 0)) if whole_image
-            else (lambda b, i: (b, i, 0, 0, 0)),
+        # dK_glo/dV_glo accumulate IN-KERNEL (r3): per-image (1, Nglo, C)
+        # f32 blocks, constant over the row-grid's inner i dim so the
+        # accumulation spans one image's consecutive grid steps
+        glo_out_spec = pl.BlockSpec(
+            (1, nglo, C),
+            (lambda b: (b, 0, 0)) if whole_image else (lambda b, i: (b, 0, 0)),
             memory_space=pltpu.VMEM,
         )
-        out_specs += [pg_spec, pg_spec]
-        # input dtype: the glo-grad epilogue contracts in it anyway, and f32
-        # outputs cost a convert + relayout pass
+        out_specs += [glo_out_spec, glo_out_spec]
         out_shapes += [
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
-            jax.ShapeDtypeStruct((B, mx, my, w2, hn), q.dtype),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
         ]
     if has_bias:
         out_specs.append(
@@ -731,8 +756,8 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     dq, dks, dknb, dvs, dvnb = (next(it) for _ in range(5))
     dkg = dvg = dbias = None
     if nglo > 0:
-        pg_out, dsg_out = next(it), next(it)
-        dkg, dvg = _glo_grads(pg_out, dsg_out, q, g, k_glo, v_glo, H)
+        dkg = next(it).astype(k_glo.dtype)
+        dvg = next(it).astype(v_glo.dtype)
     if has_bias:
         dbias = next(it)  # (H, W², cols) f32, tail order
     return dq, dks, dknb, dvs, dvnb, dkg, dvg, dbias

@@ -55,12 +55,28 @@ def _roll2d(t: jax.Array, sx, sy) -> jax.Array:
     return jnp.roll(t, shift=(sx, sy), axis=(1, 2))
 
 
+def sampled_roll(t: jax.Array, mode: Mode) -> jax.Array:
+    """Roll that aligns the sampled neighbor block (mode 1..8) onto the self
+    chunk. For a traced ``mode`` this is a ``lax.switch`` over 8 branches of
+    STATIC rolls — each lowers to one fused slice+concat copy, where a
+    dynamic-shift ``jnp.roll`` lowers to doubled-array dynamic slices per
+    axis (~4× the copy traffic; one program still serves all 8 modes)."""
+    if isinstance(mode, (int, np.integer)):
+        sx, sy = (int(s) for s in MODE_ROLL_SHIFTS[int(mode)])
+        return _roll2d(t, sx, sy)
+    branches = [
+        (lambda sx, sy: lambda x: _roll2d(x, sx, sy))(int(sx), int(sy))
+        for sx, sy in MODE_ROLL_SHIFTS[1:]
+    ]
+    return jax.lax.switch(mode - 1, branches, t)
+
+
 def neighborhood(t: jax.Array, mode: Mode) -> jax.Array:
     """Gather the kv neighborhood along the chunk axis.
 
     t: (B, mx, my, W², M) → (B, mx, my, K·W², M) where K ∈ {9, 1, 2} by mode.
-    For traced ``mode`` the roll shift is a dynamic lookup — one compilation
-    serves all 8 sampled-block modes.
+    For traced ``mode`` the sampled-block roll is a lax.switch over 8 static
+    branches (see :func:`sampled_roll`) — one compilation serves all modes.
     """
     if isinstance(mode, (int, np.integer)):
         if mode == 0:
@@ -68,11 +84,7 @@ def neighborhood(t: jax.Array, mode: Mode) -> jax.Array:
             return jnp.concatenate(rolled, axis=3)
         if mode == -1:
             return t
-        sx, sy = MODE_ROLL_SHIFTS[int(mode)]
-        return jnp.concatenate([t, _roll2d(t, int(sx), int(sy))], axis=3)
-    # traced mode (random-shift training): dynamic roll shift
-    shift = jnp.asarray(MODE_ROLL_SHIFTS)[mode]
-    return jnp.concatenate([t, _roll2d(t, shift[0], shift[1])], axis=3)
+    return jnp.concatenate([t, sampled_roll(t, mode)], axis=3)
 
 
 def sliding_chunk_qk(q: jax.Array, k: jax.Array, mode: Mode = 0) -> jax.Array:
