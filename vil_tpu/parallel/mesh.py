@@ -51,14 +51,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Place host arrays on the mesh, batch-dim sharded.
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data",
+                sharding: Optional[NamedSharding] = None) -> Any:
+    """Place host arrays on the mesh, batch-dim sharded (or with an explicit
+    ``sharding`` — e.g. the image sharding on a data×spatial mesh).
 
     Multi-host: each process passes its PER-HOST batch shard (the loaders
     already shard by process, reference DistributedSampler semantics) and
     the global array is assembled host-locally — no cross-host data copies
     (``make_array_from_process_local_data`` over DCN-free local devices)."""
-    sharding = batch_sharding(mesh, axis)
+    if sharding is None:
+        sharding = batch_sharding(mesh, axis)
     if mesh.devices.size > len([d for d in mesh.devices.flat if d.process_index == jax.process_index()]):
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(
@@ -122,14 +125,14 @@ def jit_train_step(train_step, mesh: Mesh, axis: str = "data", donate_state=True
     data_s = batch_sharding(mesh, axis)
     return jax.jit(
         train_step,
-        in_shardings=(state_s, _image_sharding(mesh, axis), data_s,
+        in_shardings=(state_s, image_sharding(mesh, axis), data_s,
                       replicated(mesh)),
         out_shardings=(state_s, replicated(mesh)),
         donate_argnums=(0,) if donate_state else (),
     )
 
 
-def _image_sharding(mesh: Mesh, axis: str) -> NamedSharding:
+def image_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Input-image sharding for the jitted steps: when the mesh declares a
     'spatial' axis (``TPU.MESH_AXES ['data','spatial']``), the NHWC image
     HEIGHT is sharded over it — whole-model SPATIAL parallelism straight
@@ -193,7 +196,7 @@ def jit_eval_step(eval_step, mesh: Mesh, axis: str = "data",
         else replicated(mesh)
     )
     data_s = batch_sharding(mesh, axis)
-    img_s = _image_sharding(mesh, axis)
+    img_s = image_sharding(mesh, axis)
 
     def wrapped(variables, images, targets, valid):
         m = eval_step(variables, images, targets, valid)

@@ -244,7 +244,12 @@ class Trainer:
                 self.state = self.state.replace(
                     buffers=redraw_projections(self.state.buffers, sub)
                 )
-            images = parallel.shard_batch(self.mesh, jnp.asarray(images))
+            # images take the image sharding (height over a 'spatial' axis
+            # when the mesh declares one); labels stay batch-sharded
+            images = parallel.shard_batch(
+                self.mesh, jnp.asarray(images),
+                sharding=parallel.mesh.image_sharding(self.mesh),
+            )
             targets = parallel.shard_batch(self.mesh, jnp.asarray(targets))
             self.state, metrics = train_step(
                 self.state, images, targets, self._step_rng
@@ -295,7 +300,10 @@ class Trainer:
             (images, targets_pad), valid = parallel.mesh.pad_batch(
                 [images, targets_np], n_dev
             )
-            images = parallel.shard_batch(self.mesh, jnp.asarray(images))
+            images = parallel.shard_batch(
+                self.mesh, jnp.asarray(images),
+                sharding=parallel.mesh.image_sharding(self.mesh),
+            )
             targets = parallel.shard_batch(self.mesh, jnp.asarray(targets_pad))
             valid = parallel.shard_batch(self.mesh, jnp.asarray(valid))
             m = eval_step(variables, images, targets, valid)
