@@ -176,3 +176,95 @@ def test_performer_logits_match_reference():
         model.apply({"params": params, "buffers": buffers}, jnp.asarray(x_np))
     )
     np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_logits_match_reference_flagship_vil_small_rpe_224():
+    """Flagship-shape golden parity for the RPE variant (README.md model
+    cards ship APE and RPE checkpoints): vil_small with a0 in every stage —
+    sliding-chunk RPE tables at W=7 ((4W-1)² = 729 offsets) in stages 1-2
+    and joint global+local full-attention RPE in stages 3-4, at the real
+    224² grids."""
+    from vil_tpu.models import ARCH_ZOO
+
+    arch = "_".join(s + ",a0" for s in ARCH_ZOO["vil_small"].split("_"))
+    ref_out, ours = _run_pair(
+        "longformerhand", arch=arch, img=224, batch=1, num_classes=1000,
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_import_224_to_384_medium_deep_resize_parity():
+    """224→384 checkpoint-import round-trip at the REAL ViL-Medium-Deep
+    arch (the reference's published finetune workflow, README.md:81-84):
+    import a 224² torch state dict into the 384² model and check every
+    resized parameter — 1-D x/y pos embeds (all stages) and the 2-D
+    full-attention RPE tables of stages 3-4 — against the torch reference's
+    own resize_pos_embed_1d/2d outputs (checkpoint.py:20-41); then run the
+    384² forward."""
+    from vil_tpu.models import ARCH_ZOO
+
+    # stages 3/4 on RPE (their (2n-1)² tables depend on the grid and must
+    # be resized at 384); stages 1/2 keep APE (x/y pos-embed 1-D resize)
+    parts = ARCH_ZOO["vil_medium_deep"].split("_")
+    arch = "_".join(parts[:2] + [p + ",a0" for p in parts[2:]])
+
+    torch.manual_seed(0)
+    RefMsViT = get_reference_msvit()  # puts /root/reference/src on sys.path
+    from utils.checkpoint import (  # the reference's own resize functions
+        resize_pos_embed_1d,
+        resize_pos_embed_2d,
+    )
+
+    ref = RefMsViT(
+        arch=arch, img_size=224, num_classes=1000,
+        attn_type="longformerhand", drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0, norm_embed=True, sharew=True,
+    )
+    ref.eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = MsViT(
+        arch=arch, img_size=384, num_classes=1000,
+        attn_type="longformerhand", norm_embed=True, sharew=True,
+        dtype=jnp.float32,
+    )
+    x = jnp.zeros((1, 384, 384, 3))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    params = import_torch_checkpoint(state, variables["params"], strict=True)
+
+    from vil_tpu.utils.torch_import import _flax_path_to_torch_key
+
+    n_1d = n_2d = 0
+    for path, ours_v in jax.tree_util.tree_flatten_with_path(params)[0]:
+        leaf = str(getattr(path[-1], "key", path[-1]))
+        if leaf not in (
+            "x_pos_embed", "y_pos_embed", "local_relative_position_bias_table"
+        ):
+            continue
+        tkey = _flax_path_to_torch_key(path)
+        assert tkey in state, (tkey, "missing in torch state dict")
+        ours_np = np.asarray(ours_v)
+        if state[tkey].shape == tuple(ours_np.shape):
+            continue  # not resized at this shape (e.g. W-dependent tables)
+        if leaf == "local_relative_position_bias_table":
+            want = resize_pos_embed_2d(
+                torch.from_numpy(state[tkey]), ours_np.shape
+            ).numpy()
+            n_2d += 1
+        else:
+            want = resize_pos_embed_1d(
+                torch.from_numpy(state[tkey]), ours_np.shape
+            ).numpy()
+            n_1d += 1
+        np.testing.assert_allclose(
+            ours_np, want, atol=2e-4, rtol=1e-3, err_msg=tkey
+        )
+    assert n_1d >= 2, f"expected resized 1-D pos embeds, found {n_1d}"
+    assert n_2d >= 1, f"expected resized 2-D RPE tables, found {n_2d}"
+
+    # the imported 384² model must run
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 1000)
+    assert bool(jnp.all(jnp.isfinite(out)))
