@@ -22,11 +22,19 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+import os as _os
+
 from ..ops import masks as masks_lib
 from ..ops import rpe as rpe_lib
 from ..ops import sliding_chunk as sc
-from ..ops.pallas import full_attention, vil_kernel, vil_mode_kernel
+from ..ops.pallas import full_attention, vil_block, vil_kernel, vil_mode_kernel
 from .layers import trunc_normal_init
+
+# Fused attention-BLOCK kernel (QKV + attention + out-proj in one Pallas
+# call, ops/pallas/vil_block.py) for the whole-image mode-0 path — removes
+# the conv↔kernel relayout copies ("relayout tax"). A/B via
+# VIL_TPU_FUSED_BLOCK=0.
+FUSED_BLOCK = _os.environ.get("VIL_TPU_FUSED_BLOCK", "1") == "1"
 
 Mode = Union[int, jax.Array]
 
@@ -355,14 +363,38 @@ class VilAttention(nn.Module):
         # path. In chunked mode the projections run directly on the
         # (B, mx, my, W², C) stage-resident tensor (Dense is per-token).
         heads4 = lambda t: t.reshape(t.shape[0], t.shape[1], H, M)
+
+        # fused attention-BLOCK path: the QKV and output projections run
+        # INSIDE the whole-image Pallas kernel (vil_block.py), so no conv
+        # output ever feeds the custom call and the relayout copies vanish.
+        # Static mode 0, no attention dropout, shared or unshared weights;
+        # init runs the classic path (creating the identical Dense param
+        # tree the fused path then reads raw).
+        tp_n0 = 1
+        if self.tp_mesh is not None:
+            tp_n0 = int(dict(self.tp_mesh.shape).get(self.tp_axis, 1))
+        use_fused_block = (
+            FUSED_BLOCK
+            and chunked_in
+            and not self.only_glo
+            and self.use_pallas
+            and tp_n0 == 1
+            and not (self.attn_drop > 0.0 and not deterministic)
+            and not traced_mode
+            and isinstance(mode, (int, np.integer)) and int(mode) == 0
+            and not self.is_initializing()
+            and (jax.default_backend() == "tpu" or vil_block.INTERPRET)
+            and vil_block.block_fits(x_img, H, Nglo, self.rpe)
+        )
         if chunked_in:
-            q_img_c = query(x_img) * scale  # (B, mx, my, W², C)
-            k_img_c, v_img_c = jnp.split(kv(x_img), 2, axis=-1)
             if Nglo >= 1:
                 kg_tok, vg_tok = jnp.split(kv(x_glo), 2, axis=-1)
             else:
                 kg_tok = jnp.zeros((B, 0, C), self.dtype)
                 vg_tok = kg_tok
+            if not use_fused_block:
+                q_img_c = query(x_img) * scale  # (B, mx, my, W², C)
+                k_img_c, v_img_c = jnp.split(kv(x_img), 2, axis=-1)
         else:
             q_tok = query(x[:, Nglo:]) * scale  # (B, Nloc, C)
             k_tok, v_tok = jnp.split(kv(x), 2, axis=-1)  # (B, N, C)
@@ -393,6 +425,7 @@ class VilAttention(nn.Module):
             on_tpu = jax.default_backend() == "tpu"
             use_fused = (
                 self.use_pallas
+                and not use_fused_block
                 and not traced_mode
                 and int(mode) == 0
                 and not attn_drop_active
@@ -417,22 +450,59 @@ class VilAttention(nn.Module):
                 tp_n = int(dict(self.tp_mesh.shape).get(self.tp_axis, 1))
             head_shard = tp_n > 1 and H % tp_n == 0
             n_loc = tp_n if head_shard else 1
-            if use_fused:
+            def _front_bias():
+                """RPE bias in FRONT column order (H, W², Nglo+9W²) | None."""
+                if not self.rpe:
+                    return None
+                idx = jnp.asarray(rpe_lib.sliding_chunk_rpe_index(W))
+                local_bias = rpe_table[idx.reshape(-1)].reshape(W2, 9 * W2, H)
+                local_bias = local_bias.transpose(2, 0, 1)  # (H, W², 9W²)
+                if Nglo >= 1:
+                    g2l_cols = jnp.broadcast_to(
+                        g2l[1][:, None, :], (H, W2, Nglo)
+                    )
+                    return jnp.concatenate(
+                        [g2l_cols, local_bias], axis=-1
+                    ).astype(jnp.float32)
+                return local_bias.astype(jnp.float32)
+
+            if use_fused_block:
+                mask_bool = masks_lib.invalid_mask(
+                    mx, my, padx, pady, W, self.exact, 0
+                )
+                mask_add = vil_kernel.mask_to_additive(
+                    mask_bool, mx, my, W2, Nglo
+                )
+                # raw projection params (same leaves the Dense modules own;
+                # reading them keeps autodiff exact and the tree identical)
+                pp = self.variables["params"]
+                cd = self.dtype
+                wq_p = pp["query"]["kernel"]
+                bq_p = pp["query"].get("bias") if self.qkv_bias else None
+                wkv_p = pp["kv"]["kernel"]
+                bkv_p = pp["kv"].get("bias") if self.qkv_bias else None
+                wo_p = pp["proj"]["kernel"]
+                bo_p = pp["proj"]["bias"]
+                f32 = jnp.float32
+                fusedb = vil_block.make_fused_vil_block(mask_add, H)
+                x1, k_img_c, v_img_c = fusedb(
+                    x_img,
+                    (wq_p * scale).astype(cd),
+                    None if bq_p is None else (bq_p * scale).astype(f32)[None],
+                    wkv_p[:, :C].astype(cd),
+                    None if bkv_p is None else bkv_p[:C].astype(f32)[None],
+                    wkv_p[:, C:].astype(cd),
+                    None if bkv_p is None else bkv_p[C:].astype(f32)[None],
+                    wo_p.astype(cd),
+                    bo_p.astype(f32)[None],
+                    kg_tok if Nglo >= 1 else None,
+                    vg_tok if Nglo >= 1 else None,
+                    _front_bias(),
+                )  # x1 is the PROJECTED output; k/v feed the global branch
+            elif use_fused:
                 mask_bool = masks_lib.invalid_mask(mx, my, padx, pady, W, self.exact, 0)
                 mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, W2, Nglo)
-                bias_full = None
-                if self.rpe:
-                    idx = jnp.asarray(rpe_lib.sliding_chunk_rpe_index(W))
-                    local_bias = rpe_table[idx.reshape(-1)].reshape(W2, 9 * W2, H)
-                    local_bias = local_bias.transpose(2, 0, 1)  # (H, W², 9W²)
-                    if Nglo >= 1:
-                        g2l_cols = jnp.broadcast_to(
-                            g2l[1][:, None, :], (H, W2, Nglo)
-                        )
-                        bias_full = jnp.concatenate([g2l_cols, local_bias], axis=-1)
-                    else:
-                        bias_full = local_bias
-                    bias_full = bias_full.astype(jnp.float32)
+                bias_full = _front_bias()
                 fused = vil_kernel.make_fused_vil_attention_mh(
                     mask_add, H // n_loc
                 )
@@ -611,7 +681,8 @@ class VilAttention(nn.Module):
                     ).reshape(B, H, Nloc, M)
                     x1 = _merge_heads(x1.astype(self.dtype))  # (B, Nloc, C)
 
-        x1 = proj(x1.astype(self.dtype))
+        if not use_fused_block:
+            x1 = proj(x1.astype(self.dtype))  # fused block already projected
         drop = lambda t: nn.Dropout(self.proj_drop)(t, deterministic=deterministic)
 
         if Nglo == 0:

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import sliding_chunk as sc
 from ..masks import NEIGHBOR_OFFSETS
+from .vil_backward import _stack_bd
 
 # flip to True in CPU tests to run the kernel in interpreter mode
 INTERPRET = False
@@ -115,116 +116,167 @@ def _nbh_rows(rows, my: int, extra=None):
     return jnp.concatenate(parts, axis=1)
 
 
-def _attend_row(q_row, k_nbh, v_nbh, vg, bias_tail, mask,
-                nglo: int, num_heads: int, out_dtype, lse_out=None,
-                comb_row=None):
-    """One chunk-row of fused attention, all heads, deferred normalization.
+def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
+                groups, M: int, out_row, lse_out=None, comb_row=None):
+    out_ref, out_idx = out_row
+    """One chunk-row of fused attention, deferred normalization, head-PAIR
+    merged GEMMs (v8).
 
-    q_row (my, W2, C); k_nbh (my, 9W2+Nglo, C) — global K rows already
-    appended by _nbh_rows; v_nbh (my, 9W2, C);
-    vg (Nglo, C) global V | None; bias_tail (H, W2, 9W2+Nglo) f32 | None
-    (TAIL column order: [local ‖ glo]); mask (my, wq, 9W2+Nglo) f32 additive,
-    same tail order (glo columns are 0).
-    Returns (my, W2, C).
+    q_row (my, W2, C); k_cat/v_cat (my, 9W2+Nglo, C) — the global K *and* V
+    rows are appended by _nbh_rows, so BOTH the score and the PV GEMM cover
+    the global columns (the v7 per-head VPU broadcast-reduce for the global
+    output term is gone — the tiny tail rides the same MXU pass for free).
+    ``groups`` (static tuple from vil_backward._head_groups): head PAIRS run
+    ONE set of merged GEMMs with block-diagonal stacked operands
+    (_stack_bd) — the per-head GEMMs contract K = M = 32 and emit N = M = 32
+    lanes, under 10%% of a 128×128 MXU tile; pairing doubles both (the
+    forward twin of the backward's pair trick, measured stage-1 bwd
+    5.70 → 4.62 ms). ``bias_grp``: per-group pre-stacked bias rows (pair
+    rows concatenated on the query axis) | None; ``mask``/``mask2``
+    (my, W², cols) / (my, 2W², cols) f32 additive, TAIL order;
+    ``comb_row`` = ((combp_ref | None, combs_ref | None), rc): combined
+    bias+mask class tables (pair-stacked, vil_backward.pair_comb_tables),
+    one VPU add per group. ``out_row``: a WRITABLE (my, W2, C) ref slot —
+    per-head results are STORED into their lane slices rather than
+    concatenated: the pair-diagonal slices carry a sublane offset (row 49
+    of the packed bf16 vregs) that Mosaic's concat lowering rejects
+    ("result/input offset mismatch on non-concat dimension") while its
+    store path relayouts fine — the exact pattern the backward kernels
+    already compile with. ``out_row`` = (ref, index-prefix tuple): fully
+    indexed stores, NOT an ``.at[]`` sub-ref view (Mosaic's memref_slice
+    rejects the non-aligned view shapes).
 
     Flash-style deferred normalization: the softmax denominator divides the
     (my, W2, M) OUTPUT rather than the (my, W2, cols) probability tensor —
     ~cols/M fewer divides and one fewer full pass over the score tensor
     (the kernel is VPU-bound, not MXU-bound, at these shapes).
 
-    Global-token columns: appended at the TAIL of the score tensor, never
-    the front. A front concat forces a 1-lane shift of the whole (W², 9W²)
-    tensor and the matching ``probs[..., nglo:]`` un-slice re-shifts it (the
-    reference column order is [glo ‖ local]); tail placement keeps the big
-    local block at lane offset 0 on both sides. The global K rows are
-    CONCATENATED ONTO THE GEMM OPERAND (k_nbh ‖ kg) so the MXU computes the
-    global scores together with the local ones in the SAME dot — v7; this
-    replaced the v6 XLA-side sg precompute (an extra ~0.5 ms/block pass over
-    Q in HBM) and the per-score-tensor tail concat. The earlier in-kernel
-    alternatives remain off the table: per-head (my, W², 1)-shaped VPU
-    broadcast-reduces measured ~10 ms/layer (1/128 lane utilization), and
-    Mosaic rejects small-operand matmuls with layout/shape-cast errors.
+    Global-token columns sit at the TAIL of the score tensor, never the
+    front: a front concat forces a 1-lane shift of the whole (W², 9W²)
+    tensor (the reference column order is [glo ‖ local]); tail placement
+    keeps the big local block at lane offset 0 on both sides.
     """
     C = q_row.shape[-1]
-    M = C // num_heads
-    nloc = k_nbh.shape[1] - nglo
-    outs = []
-    for h in range(num_heads):
-        hs = h * M
-        q_h = q_row[..., hs : hs + M]
-        k_h = k_nbh[..., hs : hs + M].astype(q_h.dtype)
-        v_h = v_nbh[..., hs : hs + M]
+    w2 = q_row.shape[1]
+    H = sum(len(g) for g in groups)
+    if lse_out is not None:
+        del lse_out[:]
+        lse_out.extend([None] * H)
+    for gidx, grp in enumerate(groups):
+        G = len(grp)
+        hs = grp[0] * M
+        gm = G * M
+        q_g = q_row[..., hs : hs + gm]
+        k_g = k_cat[..., hs : hs + gm].astype(q_g.dtype)
+        q_in = _stack_bd(q_g, M) if G == 2 else q_g
         scores = jax.lax.dot_general(
-            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            q_in, k_g, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (my, W2, 9W2+Nglo)
+        )  # (my, G·W2, 9W2+Nglo)
         if comb_row is not None:
-            # combined bias+mask row-class table: ONE VPU add over the
-            # (my, W², cols) score tensor instead of two (see build_comb);
-            # rc is a static Python int (rows are unrolled)
-            comb_ref, rc = comb_row
-            scores = scores + comb_ref[h if comb_ref.shape[0] > 1 else 0, rc]
+            # combined bias+mask class table: ONE VPU add per group
+            # (build_comb / pair_comb_tables); rc is a static int when rows
+            # are unrolled, or a traced SMEM read under halo sharding
+            (combp_ref, combs_ref), rc = comb_row
+            if G == 2:
+                scores = scores + combp_ref[
+                    gidx if combp_ref.shape[0] > 1 else 0, rc
+                ]
+            else:
+                scores = scores + combs_ref[
+                    grp[0] if combs_ref.shape[0] > 1 else 0, rc
+                ]
         else:
-            if bias_tail is not None:
-                scores = scores + bias_tail[h][None]
-            scores = scores + mask
+            if bias_grp is not None:
+                scores = scores + bias_grp[gidx][None]
+            scores = scores + (mask2 if G == 2 else mask)
         m = jnp.max(scores, axis=-1, keepdims=True)
         # unnormalized probs, cast in the same pass as the exp (the f32
         # probability tensor never hits VMEM); denominator accumulates in
         # f32 FROM the rounded probs — consistent with what the PV matmul
         # actually consumes
-        if BF16_EXP and q_h.dtype == jnp.bfloat16:
+        if BF16_EXP and q_g.dtype == jnp.bfloat16:
             probs = jnp.exp((scores - m).astype(jnp.bfloat16))
         else:
-            probs = jnp.exp(scores - m).astype(q_h.dtype)
+            probs = jnp.exp(scores - m).astype(q_g.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
         if lse_out is not None:
             # stash the log-sum-exp L = m + log(Σe) so the backward can
-            # recompute normalized probs in a SINGLE exp pass
-            # (p = exp(scores − L)) instead of max + exp + sum + divide;
-            # the log runs on the tiny (my, W², 1) denominator
-            lse_out.append((m + jnp.log(denom))[..., 0])  # (my, W²) f32
+            # recompute normalized probs in a SINGLE exp pass; the log runs
+            # on the tiny (my, G·W², 1) denominator
+            lse_full = (m + jnp.log(denom))[..., 0]  # (my, G·W²) f32
+            for j, h in enumerate(grp):
+                lse_out[h] = lse_full[:, j * w2 : (j + 1) * w2]
+        v_g = v_cat[..., hs : hs + gm].astype(probs.dtype)
         acc = jax.lax.dot_general(
-            probs[..., :nloc], v_h.astype(probs.dtype),
-            (((2,), (1,)), ((0,), (0,))),
+            probs, v_g, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (my, W2, M)
-        if nglo > 0:
-            pg = probs[..., nloc:].astype(jnp.float32)  # (my, W2, Nglo)
-            vg_h = vg[:, hs : hs + M].astype(jnp.float32)
-            acc = acc + jnp.sum(pg[:, :, :, None] * vg_h[None, None, :, :], axis=2)
-        outs.append((acc * (1.0 / denom)).astype(out_dtype))
-    return jnp.concatenate(outs, axis=-1)
+        )  # (my, G·W2, G·M) — for a pair only the diagonal (row block j,
+        # lane block j) carries head j's output; the off-diagonal garbage
+        # lanes ride the same MXU pass for free
+        inv = 1.0 / denom
+        for j, h in enumerate(grp):
+            out_ref[
+                (*out_idx, slice(None), slice(None),
+                 slice(h * M, (h + 1) * M))
+            ] = (
+                acc[:, j * w2 : (j + 1) * w2, j * M : (j + 1) * M]
+                * inv[:, j * w2 : (j + 1) * w2]
+            ).astype(out_ref.dtype)
 
 
-def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool,
-               with_lse: bool, *refs):
+def _fwd_groups(num_heads: int, M: int):
+    """Head groups for the forward kernels (shared PAIR_HEADS policy)."""
+    from .vil_backward import _head_groups
+
+    return _head_groups(num_heads, M)
+
+
+def _pair_bias_rows(bias_tail, groups):
+    """Per-group pre-stacked bias rows ((G·W², cols) each), hoisted out of
+    the row loops; None without bias."""
+    if bias_tail is None:
+        return None
+    return [
+        jnp.concatenate([bias_tail[g[0]], bias_tail[g[1]]], axis=0)
+        if len(g) == 2 else bias_tail[g[0]]
+        for g in groups
+    ]
+
+
+def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, groups,
+               has_bias: bool, with_lse: bool, *refs):
     """Row-grid kernel body (grid (B, mx)): blocks carry the FULL channel dim
-    C = H·M and heads are looped in-register (static unroll). This keeps the
-    lane dim at C (e.g. 96) for every HBM↔VMEM transfer — the head split
-    never materializes outside the kernel. refs:
-    [q_row, k_row×3, v_row×3, (k_glo, v_glo)?, (bias_tail)?, mask_row,
+    C = H·M and head GROUPS are looped in-register (static unroll). This
+    keeps the lane dim at C (e.g. 96) for every HBM↔VMEM transfer — the head
+    split never materializes outside the kernel. refs:
+    [q_row, k_row×3, v_row×3, (kg_row, vg_row)?, (bias_tail)?, mask_row,
     out_row, (lse_row)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_refs = refs[i : i + 3]; i += 3
     v_refs = refs[i : i + 3]; i += 3
-    kg_row = vg = None
+    kg_row = vg_row = None
     if nglo > 0:
         kg_row = refs[i][0]; i += 1  # (my, Nglo, C) pre-broadcast XLA-side
-        vg = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
     bias_tail = None
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_out = [] if with_lse else None
+    C = q_ref.shape[-1]
+    M = C // num_heads
+    n_pair = sum(1 for g in groups if len(g) == 2)
 
     k_nbh = _nbh_rows([kr[0, 0] for kr in k_refs], my, kg_row)
-    v_nbh = _nbh_rows([vr[0, 0] for vr in v_refs], my)
-    out_ref[0, 0] = _attend_row(
-        q_ref[0, 0], k_nbh, v_nbh, vg, bias_tail, mask_ref[0],
-        nglo, num_heads, out_ref.dtype, lse_out,
+    v_nbh = _nbh_rows([vr[0, 0] for vr in v_refs], my, vg_row)
+    mask = mask_ref[0]
+    mask2 = jnp.concatenate([mask, mask], axis=1) if n_pair else None
+    _attend_row(
+        q_ref[0, 0], k_nbh, v_nbh, _pair_bias_rows(bias_tail, groups),
+        mask, mask2, groups, M, (out_ref, (0, 0)), lse_out,
     )
     if with_lse:
         lse_ref = refs[i]
@@ -233,7 +285,8 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, has_bias: bool,
 
 
 def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
-                   has_bias: bool, with_lse: bool, class_of, *refs):
+                   groups, has_bias: bool, with_lse: bool, class_of,
+                   n_comb: int, *refs):
     """Whole-image kernel body (grid (B,)): the ENTIRE per-image Q/K/V
     (mx, my, W², C) is resident in VMEM — viable because a ViL stage's
     feature map is small (e.g. stage 1 of ViL-Small 224: 64 chunks × 49 ×
@@ -242,44 +295,70 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     pipeline overhead is amortized mx-fold.
 
     ``class_of`` (length-mx tuple of static ints) selects the row's slice of
-    the combined bias+mask class table (see build_comb) — the refs then carry
-    ONE comb table instead of separate bias/mask tables."""
+    the combined bias+mask class tables (build_comb + pair_comb_tables;
+    ``n_comb`` table refs: [pair table][, odd-head singleton table])."""
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
     v_ref = refs[i]; i += 1
-    kg_row = vg = None
+    kg_row = vg_row = None
     if nglo > 0:
         kg_row = refs[i][0]; i += 1  # (my, Nglo, C) pre-broadcast XLA-side
-        vg = refs[i][0]; i += 1
-    bias_tail = mask_ref = comb_ref = None
+        vg_row = refs[i][0]; i += 1
+    bias_tail = mask_ref = None
+    comb_refs = ()
     if class_of is not None:
-        comb_ref = refs[i]; i += 1
+        comb_refs = tuple(refs[i : i + n_comb]); i += n_comb
     else:
         if has_bias:
             bias_tail = refs[i]; i += 1
         mask_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_ref = refs[i] if with_lse else None
+    C = q_ref.shape[-1]
+    M = C // num_heads
+    n_pair = sum(1 for g in groups if len(g) == 2)
+    comb_pair = _comb_pair_refs(comb_refs, groups) if comb_refs else None
+    bias_grp = _pair_bias_rows(bias_tail, groups)
 
     for i_row in range(mx):
         k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         lse_out = [] if with_lse else None
-        out_ref[0, i_row] = _attend_row(
+        mask = mask2 = None
+        if mask_ref is not None:
+            mask = mask_ref[i_row]
+            if n_pair:
+                mask2 = jnp.concatenate([mask, mask], axis=1)
+        _attend_row(
             q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
-            _nbh_rows(v_rows, my),
-            vg, bias_tail, mask_ref[i_row] if mask_ref is not None else None,
-            nglo, num_heads, out_ref.dtype, lse_out,
-            comb_row=None if comb_ref is None else (comb_ref, class_of[i_row]),
+            _nbh_rows(v_rows, my, vg_row),
+            bias_grp, mask, mask2, groups, M, (out_ref, (0, i_row)), lse_out,
+            comb_row=(
+                None if comb_pair is None
+                else (comb_pair, class_of[i_row])
+            ),
         )
         if with_lse:
             for h in range(num_heads):
                 lse_ref[0, h, i_row] = lse_out[h]
 
 
+def _comb_pair_refs(comb_refs, groups):
+    """(combp_ref | None, combs_ref | None) from the kernel's comb table
+    refs: [pair table][, singleton table] when pairs exist, else [full
+    table] (mirrors vil_mode_kernel._comb_pair)."""
+    n_pair = sum(1 for g in groups if len(g) == 2)
+    n_single = sum(1 for g in groups if len(g) == 1)
+    it = iter(comb_refs)
+    combp = next(it) if n_pair else None
+    combs = next(it) if n_single else None
+    return combp, combs
+
+
 def _mh_kernel_img_halo(nglo: int, w2: int, mx: int, my: int,
-                        num_heads: int, with_lse: bool, *refs):
+                        num_heads: int, groups, n_comb: int, with_lse: bool,
+                        *refs):
     """Whole-image kernel body over HALO-EXTENDED K/V (grid (B,)) — the
     spatial/sequence-parallel variant (parallel/spatial.py).
 
@@ -289,29 +368,32 @@ def _mh_kernel_img_halo(nglo: int, w2: int, mx: int, my: int,
     row class is a TRACED per-row index (rc_ref, SMEM): different spatial
     shards hold different slices of the global mask, and SPMD shards run one
     program — the static class_of lookup of _mh_kernel_img is not available.
-    refs: [q, k_ext, v_ext, (kg_row, vg)?, comb, rc, out, (lse)?]."""
+    refs: [q, k_ext, v_ext, (kg_row, vg_row)?, comb×n_comb, rc, out,
+    (lse)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
     v_ref = refs[i]; i += 1
-    kg_row = vg = None
+    kg_row = vg_row = None
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
-        vg = refs[i][0]; i += 1
-    comb_ref = refs[i]; i += 1
+        vg_row = refs[i][0]; i += 1
+    comb_refs = tuple(refs[i : i + n_comb]); i += n_comb
     rc_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_ref = refs[i] if with_lse else None
+    M = q_ref.shape[-1] // num_heads
+    comb_pair = _comb_pair_refs(comb_refs, groups)
 
     for i_row in range(mx):
         k_rows = [k_ref[0, i_row + dx + 1] for dx in (-1, 0, 1)]
         v_rows = [v_ref[0, i_row + dx + 1] for dx in (-1, 0, 1)]
         lse_out = [] if with_lse else None
-        out_ref[0, i_row] = _attend_row(
+        _attend_row(
             q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
-            _nbh_rows(v_rows, my), vg, None, None,
-            nglo, num_heads, out_ref.dtype, lse_out,
-            comb_row=(comb_ref, rc_ref[i_row]),
+            _nbh_rows(v_rows, my, vg_row), None, None, None,
+            groups, M, (out_ref, (0, i_row)), lse_out,
+            comb_row=(comb_pair, rc_ref[i_row]),
         )
         if with_lse:
             for h in range(num_heads):
@@ -342,7 +424,13 @@ def _pallas_forward_halo(
         bias_tail = jnp.concatenate(
             [bias[..., nglo:], bias[..., :nglo]], axis=-1
         ).astype(jnp.float32)
-    comb = build_comb(np.asarray(classes_host, np.float32), bias_tail, w2)
+    from .vil_backward import pair_comb_tables
+
+    groups = _fwd_groups(num_heads, C // num_heads)
+    comb_tables = pair_comb_tables(
+        build_comb(np.asarray(classes_host, np.float32), bias_tail, w2),
+        groups, num_heads,
+    )
     row_class = row_class.astype(jnp.int32)
 
     img_spec = pl.BlockSpec(
@@ -356,24 +444,27 @@ def _pallas_forward_halo(
     in_specs = [img_spec, ext_spec, ext_spec]
     operands = [q, k_ext, v_ext]
     if nglo > 0:
-        in_specs += [
-            pl.BlockSpec((1, my, nglo, C), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nglo, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        glo_bcast = pl.BlockSpec((1, my, nglo, C), lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [glo_bcast, glo_bcast]
         operands += [
-            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)), v_glo
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
-    in_specs += [
-        pl.BlockSpec(comb.shape, lambda b: (0,) * 5,
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((mx,), lambda b: (0,), memory_space=pltpu.SMEM),
-    ]
-    operands += [comb, row_class]
+    for tbl in comb_tables:
+        in_specs.append(
+            pl.BlockSpec(tbl.shape, lambda b: (0,) * 5,
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(tbl)
+    in_specs.append(
+        pl.BlockSpec((mx,), lambda b: (0,), memory_space=pltpu.SMEM)
+    )
+    operands.append(row_class)
 
     kernel = functools.partial(
-        _mh_kernel_img_halo, nglo, w2, mx, my, num_heads, False
+        _mh_kernel_img_halo, nglo, w2, mx, my, num_heads, groups,
+        len(comb_tables), False,
     )
     return pl.pallas_call(
         kernel,
@@ -612,6 +703,7 @@ def _pallas_forward_mh(
     classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
     ncls = classes_host.shape[0]
     comb_bytes = (num_heads if has_bias else 1) * ncls * my * w2 * cols * 4
+    groups = _fwd_groups(num_heads, C // num_heads)
 
     # VMEM estimate for the whole-image variant: q/k/v/out resident (×2 for
     # pipeline double-buffering), the comb table, plus one row of f32
@@ -625,8 +717,13 @@ def _pallas_forward_mh(
     )
     whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
     mask_tail = None
+    comb_tables = []
     if whole_image:
-        comb = build_comb(classes_host, bias_tail, w2)
+        from .vil_backward import pair_comb_tables
+
+        comb_tables = pair_comb_tables(
+            build_comb(classes_host, bias_tail, w2), groups, num_heads
+        )
     else:
         class_of = None
         mask_tail = expand_tail_mask(mask_add, nglo, w2)
@@ -641,17 +738,14 @@ def _pallas_forward_mh(
         grid = (B,)
         glo_idx = lambda b: (b, 0, 0)
         const_idx = lambda b: (0, 0, 0)
-        comb_spec = pl.BlockSpec(
-            comb.shape, lambda b: (0,) * 5, memory_space=pltpu.VMEM
-        )
         out_spec = img_spec
         lse_spec = pl.BlockSpec(
             (1, num_heads, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(
-            _mh_kernel_img, nglo, w2, mx, my, num_heads, has_bias, with_lse,
-            class_of,
+            _mh_kernel_img, nglo, w2, mx, my, num_heads, groups, has_bias,
+            with_lse, class_of, len(comb_tables),
         )
     else:
         row_block = (1, 1, my, w2, C)
@@ -682,12 +776,13 @@ def _pallas_forward_mh(
             memory_space=pltpu.VMEM,
         )
         kernel = functools.partial(
-            _mh_kernel, nglo, w2, my, num_heads, has_bias, with_lse
+            _mh_kernel, nglo, w2, my, num_heads, groups, has_bias, with_lse
         )
 
     if nglo > 0:
-        # global K rows pre-broadcast over my OUTSIDE the kernel (tiny
-        # (B, my, Nglo, C) tensor) — appended to the neighborhood concat
+        # global K AND V rows pre-broadcast over my OUTSIDE the kernel (tiny
+        # (B, my, Nglo, C) tensors) — appended to the neighborhood concats
+        # so both the score and the PV GEMM cover the global columns (v8)
         kg_spec = pl.BlockSpec(
             (1, my, nglo, C),
             (lambda b: (b, 0, 0, 0)) if whole_image else (
@@ -695,15 +790,18 @@ def _pallas_forward_mh(
             ),
             memory_space=pltpu.VMEM,
         )
-        glo_spec = pl.BlockSpec((1, nglo, C), glo_idx, memory_space=pltpu.VMEM)
-        in_specs += [kg_spec, glo_spec]
+        in_specs += [kg_spec, kg_spec]
         operands += [
             jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
-            v_glo,
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
     if whole_image:
-        in_specs.append(comb_spec)
-        operands.append(comb)
+        for tbl in comb_tables:
+            in_specs.append(
+                pl.BlockSpec(tbl.shape, lambda b: (0,) * 5,
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(tbl)
     else:
         if has_bias:
             in_specs.append(

@@ -58,40 +58,44 @@ def _cat2(a, b, extra=None):
     return jnp.concatenate(parts, axis=1)
 
 
-def _fwd_row(nglo, num_heads, has_bias, q_row, ks, knb, vs, vnb, kg_row, vg,
-             bias_tail, mask, out_dtype, lse_out=None, comb_row=None):
+def _fwd_row(groups, M, q_row, ks, knb, vs, vnb, kg_row, vg_row, bias_grp,
+             mask, mask2, out_row, lse_out=None, comb_row=None):
     k_cat = _cat2(ks, knb, kg_row)
-    v_cat = _cat2(vs, vnb)
-    return _attend_row(
-        q_row, k_cat, v_cat, vg, bias_tail, mask, nglo, num_heads, out_dtype,
+    v_cat = _cat2(vs, vnb, vg_row)  # global V rides the PV GEMM too (v8)
+    _attend_row(
+        q_row, k_cat, v_cat, bias_grp, mask, mask2, groups, M, out_row,
         lse_out, comb_row,
     )
 
 
-def _fwd_kernel_row(nglo, w2, num_heads, has_bias, with_lse, *refs):
+def _fwd_kernel_row(nglo, w2, num_heads, groups, has_bias, with_lse, *refs):
     """Row-grid forward body (grid (B, mx)). refs:
-    [q, k_self, k_nb, v_self, v_nb, (kg_row, vg)?, (bias_tail)?, mask, out,
-    (lse_row)?]."""
+    [q, k_self, k_nb, v_self, v_nb, (kg_row, vg_row)?, (bias_tail)?, mask,
+    out, (lse_row)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     ks_ref = refs[i]; i += 1
     knb_ref = refs[i]; i += 1
     vs_ref = refs[i]; i += 1
     vnb_ref = refs[i]; i += 1
-    kg_row = vg = None
+    kg_row = vg_row = None
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
-        vg = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
     bias_tail = None
     if has_bias:
         bias_tail = refs[i]; i += 1
     mask_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_out = [] if with_lse else None
-    out_ref[0, 0] = _fwd_row(
-        nglo, num_heads, has_bias, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
-        vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg, bias_tail, mask_ref[0],
-        out_ref.dtype, lse_out,
+    M = q_ref.shape[-1] // num_heads
+    n_pair = sum(1 for g in groups if len(g) == 2)
+    mask = mask_ref[0]
+    mask2 = jnp.concatenate([mask, mask], axis=1) if n_pair else None
+    _fwd_row(
+        groups, M, q_ref[0, 0], ks_ref[0, 0], knb_ref[0, 0],
+        vs_ref[0, 0], vnb_ref[0, 0], kg_row, vg_row,
+        _pair_bias(bias_tail, groups), mask, mask2, (out_ref, (0, 0)), lse_out,
     )
     if with_lse:
         lse_ref = refs[i]
@@ -99,38 +103,50 @@ def _fwd_kernel_row(nglo, w2, num_heads, has_bias, with_lse, *refs):
             lse_ref[0, h, 0] = lse_out[h]
 
 
-def _fwd_kernel_img(nglo, w2, mx, num_heads, has_bias, with_lse, class_of,
-                    *refs):
+def _fwd_kernel_img(nglo, w2, mx, num_heads, groups, has_bias, with_lse,
+                    class_of, n_comb, *refs):
     """Whole-image forward body (grid (B,)); rows unrolled statically.
-    With ``class_of`` the separate bias/mask refs are replaced by ONE
-    combined row-class table (see mode_tail_mask_classes / build_comb)."""
+    With ``class_of`` the separate bias/mask refs are replaced by the
+    combined row-class tables (mode_tail_mask_classes / build_comb +
+    pair_comb_tables; ``n_comb`` refs)."""
     i = 0
     q_ref = refs[i]; i += 1
     ks_ref = refs[i]; i += 1
     knb_ref = refs[i]; i += 1
     vs_ref = refs[i]; i += 1
     vnb_ref = refs[i]; i += 1
-    kg_row = vg = None
+    kg_row = vg_row = None
     if nglo > 0:
         kg_row = refs[i][0]; i += 1
-        vg = refs[i][0]; i += 1
-    bias_tail = mask_ref = comb_ref = None
+        vg_row = refs[i][0]; i += 1
+    bias_tail = mask_ref = None
+    comb_refs = ()
     if class_of is not None:
-        comb_ref = refs[i]; i += 1
+        comb_refs = tuple(refs[i : i + n_comb]); i += n_comb
     else:
         if has_bias:
             bias_tail = refs[i]; i += 1
         mask_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_ref = refs[i] if with_lse else None
+    M = q_ref.shape[-1] // num_heads
+    n_pair = sum(1 for g in groups if len(g) == 2)
+    comb_pair = _comb_pair(comb_refs, groups) if comb_refs else None
+    bias_grp = _pair_bias(bias_tail, groups)
     for r in range(mx):
         lse_out = [] if with_lse else None
-        out_ref[0, r] = _fwd_row(
-            nglo, num_heads, has_bias, q_ref[0, r], ks_ref[0, r],
-            knb_ref[0, r], vs_ref[0, r], vnb_ref[0, r], kg_row, vg,
-            bias_tail, mask_ref[r] if mask_ref is not None else None,
-            out_ref.dtype, lse_out,
-            comb_row=None if comb_ref is None else (comb_ref, class_of[r]),
+        mask = mask2 = None
+        if mask_ref is not None:
+            mask = mask_ref[r]
+            if n_pair:
+                mask2 = jnp.concatenate([mask, mask], axis=1)
+        _fwd_row(
+            groups, M, q_ref[0, r], ks_ref[0, r],
+            knb_ref[0, r], vs_ref[0, r], vnb_ref[0, r], kg_row, vg_row,
+            bias_grp, mask, mask2, (out_ref, (0, r)), lse_out,
+            comb_row=(
+                None if comb_pair is None else (comb_pair, class_of[r])
+            ),
         )
         if with_lse:
             for h in range(num_heads):
@@ -561,11 +577,15 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
     )
     whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
     use_comb = class_of is not None and whole_image
-    comb = None
+    groups = _head_groups(num_heads, C // num_heads)
+    comb_tables = []
     if use_comb:
+        from .vil_backward import pair_comb_tables
         from .vil_kernel import build_comb
 
-        comb = build_comb(mask_tail, bias_tail, w2)
+        comb_tables = pair_comb_tables(
+            build_comb(mask_tail, bias_tail, w2), groups, num_heads
+        )
     elif class_of is not None:
         # row-grid fallback indexes mask blocks by the traced grid row —
         # reconstruct the full (mx, my, W², cols) table from the classes
@@ -574,27 +594,32 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
         )
     in_specs, img_spec, const3 = _common_specs(
         B, mx, my, w2, C, nglo, has_bias, cols, whole_image, num_heads,
-        comb_shape=comb.shape if use_comb else None,
+        comb_shape=comb_tables[0].shape if use_comb else None,
     )
+    if use_comb and len(comb_tables) > 1:
+        in_specs.append(pl.BlockSpec(
+            comb_tables[1].shape, lambda b: (0,) * 5,
+            memory_space=pltpu.VMEM,
+        ))
     operands = [q, ks, knb, vs, vnb]
     if nglo > 0:
+        # global K AND V rows pre-broadcast over my: both ride the
+        # neighborhood concats so the score and PV GEMMs cover the global
+        # columns (v8 — the per-head VPU mul+reduce glo term is gone)
         operands += [
-            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)), v_glo
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
         ]
-        # forward keeps vg as (B, Nglo, C): the glo output term is a VPU
-        # mul+reduce over the tiny normalized tail (see _attend_row)
-        in_specs[5] = pl.BlockSpec(
+        glo_bcast = pl.BlockSpec(
             (1, my, nglo, C),
-            (lambda b: (b, 0, 0, 0)) if whole_image else (lambda b, i: (b, 0, 0, 0)),
+            (lambda b: (b, 0, 0, 0)) if whole_image
+            else (lambda b, i: (b, 0, 0, 0)),
             memory_space=pltpu.VMEM,
         )
-        in_specs[6] = pl.BlockSpec(
-            (1, nglo, C),
-            (lambda b: (b, 0, 0)) if whole_image else (lambda b, i: (b, 0, 0)),
-            memory_space=pltpu.VMEM,
-        )
+        in_specs[5] = glo_bcast
+        in_specs[6] = glo_bcast
     if use_comb:
-        operands.append(comb)
+        operands.extend(comb_tables)
     else:
         if has_bias:
             operands.append(bias_tail)
@@ -602,11 +627,11 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
 
     kernel = (
         functools.partial(
-            _fwd_kernel_img, nglo, w2, mx, num_heads, has_bias, with_lse,
-            class_of if use_comb else None)
+            _fwd_kernel_img, nglo, w2, mx, num_heads, groups, has_bias,
+            with_lse, class_of if use_comb else None, len(comb_tables))
         if whole_image
         else functools.partial(
-            _fwd_kernel_row, nglo, w2, num_heads, has_bias, with_lse)
+            _fwd_kernel_row, nglo, w2, num_heads, groups, has_bias, with_lse)
     )
     out_specs = img_spec
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
