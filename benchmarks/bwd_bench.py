@@ -82,6 +82,7 @@ def main():
             return vil_backward._backward_tiled(*a[:-2], a[-2], T, a[-1])
 
         fns["tiled"] = tiled
+        fns["loop"] = vil_backward._backward_whole_image_loop
 
         # backward FLOPs: 5 score-sized GEMM units (QK, dP, dQ, dK, dV)
         cols = nglo + 9 * w2

@@ -14,7 +14,8 @@ def _interpret(monkeypatch):
     monkeypatch.setattr(vil_kernel, "INTERPRET", True)
 
 
-@pytest.mark.parametrize("variant", ["whole_image", "two_pass", "tiled"])
+@pytest.mark.parametrize("variant", ["whole_image", "two_pass", "tiled",
+                                     "loop"])
 @pytest.mark.parametrize(
     "nglo,with_bias,H,mx,my",
     [(1, True, 2, 3, 3), (0, False, 1, 3, 4), (2, True, 2, 4, 3),
@@ -32,6 +33,9 @@ def test_backward_matches_xla_vjp(monkeypatch, variant, nglo, with_bias, H, mx, 
         monkeypatch.setattr(
             vil_backward, "FORCE_TILE_T", 2 if mx % 2 == 0 else 1
         )
+    if variant == "loop":
+        # loop-rolled whole-image variant (big-grid tier)
+        monkeypatch.setattr(vil_backward, "FORCE_BWD_LOOP", True)
     B, w, M = 2, 3, 8
     C = H * M
     w2 = w * w
@@ -77,4 +81,35 @@ def test_backward_matches_xla_vjp(monkeypatch, variant, nglo, with_bias, H, mx, 
         np.testing.assert_allclose(
             np.asarray(ours), np.asarray(theirs), atol=2e-4, rtol=2e-4,
             err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("variant", ["loop", "tiled"])
+def test_custom_vjp_lse_path(monkeypatch, variant):
+    """Full custom-vjp route with the forward-stashed LSE feeding the
+    loop-rolled / tiled backward (the big-grid tiers the 384² training
+    path uses)."""
+    if variant == "loop":
+        monkeypatch.setattr(vil_backward, "FORCE_BWD_LOOP", True)
+    else:
+        monkeypatch.setattr(vil_backward, "FORCE_TILE_T", 2)
+    B, mx, my, w, H, M, nglo = 2, 4, 3, 3, 3, 8, 1
+    w2, C = w * w, 3 * 8
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 1, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    q, k, v = (jax.random.normal(ks[i], (B, mx, my, w2, C)) for i in range(3))
+    kg, vg = (jax.random.normal(ks[3 + i], (B, nglo, C)) for i in range(2))
+    bias = jax.random.normal(ks[5], (H, w2, nglo + 9 * w2)) * 0.3
+    fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
+    loss_f = lambda *a: jnp.sum(fused(*a) ** 2)
+    loss_x = lambda *a: jnp.sum(
+        vil_kernel._xla_reference_mh(*a, mask_add, H) ** 2
+    )
+    argn = (0, 1, 2, 3, 4, 5)
+    gf = jax.grad(loss_f, argnums=argn)(q, k, v, kg, vg, bias)
+    gx = jax.grad(loss_x, argnums=argn)(q, k, v, kg, vg, bias)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4
         )

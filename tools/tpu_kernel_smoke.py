@@ -101,6 +101,69 @@ def run_smoke(verbose: bool = True) -> dict:
                 f"grad err {e_grad:.2e} -> {'PASS' if passed else 'FAIL'}",
                 file=sys.stderr,
             )
+    # fused attention-BLOCK path (ops/pallas/vil_block.py): QKV + attention
+    # + out-proj in one Pallas call — fwd + VJP compiled vs the
+    # differentiable XLA block reference, bf16 (the hot-path dtype).
+    from vil_tpu.ops.pallas import vil_block
+
+    if jax.default_backend() != "tpu":
+        vil_block.INTERPRET = True
+    rngb = np.random.default_rng(7)
+    fb = lambda *s: jnp.asarray(rngb.standard_normal(s) * 0.2, jnp.float32)
+    xb = fb(B, mx, my, w2, C).astype(jnp.bfloat16)
+    w_args = tuple(
+        fb(C, C).astype(jnp.bfloat16) if n.startswith("w") else fb(1, C)
+        for n in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo")
+    )
+    kg_b = fb(B, nglo, C).astype(jnp.bfloat16)
+    vg_b = fb(B, nglo, C).astype(jnp.bfloat16)
+    bias_b = fb(H, w2, nglo + 9 * w2)
+    fused_b = vil_block.make_fused_vil_block(mask_add, H)
+
+    def _loss_b(fn):
+        def L(*a):
+            y, kk, vv = fn(*a)
+            return (
+                jnp.sum(jnp.tanh(y.astype(jnp.float32)))
+                + jnp.sum(kk.astype(jnp.float32) * 0.1)
+                + jnp.sum(vv.astype(jnp.float32) * 0.05)
+            )
+        return L
+
+    argn = tuple(range(12))
+
+    @jax.jit
+    def block_pair(x, *rest):
+        ofb, gfb = jax.value_and_grad(_loss_b(fused_b), argnums=argn)(
+            x, *rest
+        )
+        oxb, gxb = jax.value_and_grad(
+            _loss_b(
+                lambda *a: vil_block._xla_block_reference(*a, mask_add, H)
+            ),
+            argnums=argn,
+        )(x, *rest)
+        return ofb, oxb, gfb, gxb
+
+    ofb, oxb, gfb, gxb = block_pair(xb, *w_args, kg_b, vg_b, bias_b)
+    e_fwd_b = float(jnp.abs(ofb - oxb)) / (abs(float(oxb)) + 1e-6)
+    e_grad_b = 0.0
+    for a, b in zip(gfb, gxb):
+        sc_ = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-6
+        e_grad_b = max(e_grad_b, _max_err(a, b) / sc_)
+    passed_b = e_fwd_b <= 5e-2 and e_grad_b <= 5e-2
+    ok &= passed_b
+    results["block"] = {
+        "fwd_loss_rel_err": round(e_fwd_b, 6),
+        "grad_max_rel_err": round(e_grad_b, 6),
+        "pass": passed_b,
+    }
+    if verbose:
+        print(
+            f"kernel smoke [block] loss err {e_fwd_b:.2e} "
+            f"grad err {e_grad_b:.2e} -> {'PASS' if passed_b else 'FAIL'}",
+            file=sys.stderr,
+        )
     # sampled-mode (MODE>0, random-shift training) path: the fused mode
     # kernels behind VilAttention vs the pure-XLA tier, compiled, fwd + VJP,
     # traced mode index (the shape the training step uses). H=3 covers the

@@ -32,9 +32,12 @@ from .layers import trunc_normal_init
 
 # Fused attention-BLOCK kernel (QKV + attention + out-proj in one Pallas
 # call, ops/pallas/vil_block.py) for the whole-image mode-0 path — removes
-# the conv↔kernel relayout copies ("relayout tax"). A/B via
-# VIL_TPU_FUSED_BLOCK=0.
-FUSED_BLOCK = _os.environ.get("VIL_TPU_FUSED_BLOCK", "1") == "1"
+# the conv↔kernel relayout copies ("relayout tax"). MEASURED DEAD END,
+# default OFF: the in-kernel my-batched projection dots can't match XLA's
+# big conv GEMMs — ViL-Small 224 b64 train 1517 vs 1668 img/s, inference
+# 6712 vs 6745 (docs/BENCHMARKS.md). Kept behind the flag with full test
+# + compiled-smoke coverage as the third documented angle on the tax.
+FUSED_BLOCK = _os.environ.get("VIL_TPU_FUSED_BLOCK", "0") == "1"
 
 Mode = Union[int, jax.Array]
 

@@ -71,6 +71,12 @@ WIDE_DKDV = None
 # rows per tile (must divide mx). None = automatic selection by VMEM fit.
 FORCE_TILE_T = None
 
+# testing/benchmark knob: force the LOOP-rolled whole-image backward
+# (_bwd_kernel_img_loop) on (True) or off (False). None = automatic: used
+# when the unrolled whole-image estimate exceeds the budget but the loop
+# estimate fits (e.g. 14×14-chunk 384² grids).
+FORCE_BWD_LOOP = None
+
 # head-PAIR GEMM merging in the fused kernels. The per-head GEMMs contract
 # K = W² = 49 (dK/dV) or K = M = 32 (scores/dP) with N = 32 — under 10% of a
 # 128×128 MXU tile. Processing two heads at once with a block-diagonal
@@ -833,6 +839,350 @@ def backward_whole_image_halo(q, k_ext, v_ext, k_glo, v_glo, bias, g,
     return dq, dk, dv, dkg, dvg, dbias
 
 
+def _bwd_kernel_img_loop(nglo, w2, mx, my, H, groups, has_bias, with_lse,
+                         *refs):
+    """LOOP-rolled whole-image fused backward (grid (B,)) for grids whose
+    statically-unrolled temp estimate exceeds the VMEM budget (e.g.
+    14×14-chunk 384² stage-1 grids). Identical math to _bwd_kernel_img, but
+    the row loop is a ``lax.fori_loop``: only ONE row's f32 score-sized
+    temporaries are live at a time (Mosaic does not reuse stack slots
+    across a static unroll — the 5·mx·H temps are what force the
+    tiled/two-pass fallbacks at big grids). vs the super-row tiled kernel
+    this keeps K/V resident ONCE per image (the tiles refetch 3×), has no
+    (T+2)-row halo slabs and no XLA combine pass — dK/dV accumulate in f32
+    VMEM scratch via dynamic-row read-modify-writes — and pays no per-tile
+    pipeline flushes.
+
+    Traced-row consequences: rows are addressed with dynamic indices
+    (cyclic wrap via lax.rem), the comb-table row class is a traced SMEM
+    read (same as the halo kernel), and db/dkg/dvg accumulate as fori_loop
+    carries. The group loop stays statically unrolled (lane offsets must be
+    static).
+
+    refs: [q, k, v, g, (kg_row, vg_row)?, comb×n_comb, rc, (lse)?,
+           dq, dk, dv, (dkg, dvg)?, (dbias_tail)?, dk_scr, dv_scr]."""
+    n_pair = sum(1 for grp in groups if len(grp) == 2)
+    n_single = sum(1 for grp in groups if len(grp) == 1)
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    g_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
+    combp_ref = combs_ref = None
+    if n_pair:
+        combp_ref = refs[i]; i += 1
+    if n_single:
+        combs_ref = refs[i]; i += 1
+    rc_ref = refs[i]; i += 1  # (mx,) int32 SMEM: traced row classes
+    lse_ref = None
+    if with_lse:
+        lse_ref = refs[i]; i += 1
+    dq_ref = refs[i]; i += 1
+    dk_ref = refs[i]; i += 1
+    dv_ref = refs[i]; i += 1
+    dkg_ref = dvg_ref = None
+    if nglo > 0:
+        dkg_ref = refs[i]; i += 1
+        dvg_ref = refs[i]; i += 1
+    dbias_ref = None
+    if has_bias:
+        dbias_ref = refs[i]; i += 1
+    dk_scr = refs[i]; i += 1  # (mx, my, W², C) f32 VMEM accumulators
+    dv_scr = refs[i]; i += 1
+
+    b_idx = pl.program_id(0)
+    C = q_ref.shape[-1]
+    M = C // H
+    nloc = 9 * w2
+    nG = len(groups)
+    cols = nloc + nglo
+
+    from .vil_kernel import _nbh_rows
+
+    zero_row = jnp.zeros((my, w2, C), jnp.float32)
+    for r in range(mx):
+        dk_scr[r] = zero_row
+        dv_scr[r] = zero_row
+
+    db0 = tuple(jnp.zeros((w2, cols), jnp.float32) for _ in range(H))
+    glo0 = tuple(
+        jnp.zeros((1, len(grp) * M), jnp.float32)
+        for _ in range(nglo) for grp in groups
+    )
+
+    def body(i_row, carry):
+        db_acc, dkg_acc, dvg_acc = carry
+        im1 = jax.lax.rem(i_row + mx - 1, mx)
+        ip1 = jax.lax.rem(i_row + 1, mx)
+        k_rows = [k_ref[0, im1], k_ref[0, i_row], k_ref[0, ip1]]
+        v_rows = [v_ref[0, im1], v_ref[0, i_row], v_ref[0, ip1]]
+        rc = rc_ref[i_row]
+        k_nbh = _nbh_rows(k_rows, my, kg_row)
+        v_nbh = _nbh_rows(v_rows, my, vg_row)
+        q_row = q_ref[0, i_row]
+        g_row = g_ref[0, i_row]
+        db_new = list(db_acc)
+        dkg_new = list(dkg_acc)
+        dvg_new = list(dvg_acc)
+        dk_parts = [[None] * nG for _ in range(3)]  # per dx ∈ (−1, 0, 1)
+        dv_parts = [[None] * nG for _ in range(3)]
+        for gidx, grp in enumerate(groups):
+            G = len(grp)
+            hs = grp[0] * M
+            gm = G * M
+            q_g = q_row[..., hs : hs + gm]
+            k_g = k_nbh[..., hs : hs + gm].astype(q_g.dtype)
+            v_g = v_nbh[..., hs : hs + gm].astype(q_g.dtype)
+            g_g = g_row[..., hs : hs + gm]
+            if G == 2:
+                q_in = _stack_bd(q_g, M)
+                g_in = _stack_bd(g_g, M)
+            else:
+                q_in, g_in = q_g, g_g
+            scores = jax.lax.dot_general(
+                q_in, k_g, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            if G == 2:
+                scores = scores + combp_ref[
+                    gidx if combp_ref.shape[0] > 1 else 0, rc
+                ]
+            else:
+                scores = scores + combs_ref[
+                    grp[0] if combs_ref.shape[0] > 1 else 0, rc
+                ]
+            if lse_ref is not None:
+                if G == 2:
+                    lse_row = jnp.concatenate(
+                        [lse_ref[0, grp[0], i_row],
+                         lse_ref[0, grp[1], i_row]],
+                        axis=1,
+                    )
+                else:
+                    lse_row = lse_ref[0, grp[0], i_row]
+                p = _probs_lse(scores, lse_row, q_g.dtype)
+            else:
+                p = _probs_softmax(scores, q_g.dtype)
+            dp = jax.lax.dot_general(
+                g_in, v_g, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = p * (dp - delta)
+            ds_c = ds.astype(q_g.dtype)
+            dq_out = jax.lax.dot_general(
+                ds_c, k_g, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for j, h in enumerate(grp):
+                dq_ref[0, i_row, :, :, h * M : (h + 1) * M] = dq_out[
+                    :, j * w2 : (j + 1) * w2, j * M : (j + 1) * M
+                ].astype(dq_ref.dtype)
+            if has_bias:
+                db = jnp.sum(ds, axis=0)
+                for j, h in enumerate(grp):
+                    db_new[h] = db_new[h] + db[j * w2 : (j + 1) * w2]
+            p_c = p.astype(q_g.dtype)
+            dk_wide = jax.lax.dot_general(
+                ds_c, q_in, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            dv_wide = jax.lax.dot_general(
+                p_c, g_in, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            for gi in range(nglo):
+                g0 = nloc + gi
+                slot = gi * nG + gidx
+                dkg_new[slot] = dkg_new[slot] + jnp.sum(
+                    dk_wide[:, g0 : g0 + 1, :], axis=0
+                )
+                dvg_new[slot] = dvg_new[slot] + jnp.sum(
+                    dv_wide[:, g0 : g0 + 1, :], axis=0
+                )
+            for bi, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+                c0 = bi * w2
+                dk_c = dk_wide[:, c0 : c0 + w2, :]
+                dv_c = dv_wide[:, c0 : c0 + w2, :]
+                if my > 1:
+                    dk_c = _roll0(dk_c, -dy)
+                    dv_c = _roll0(dv_c, -dy)
+                s = dx + 1
+                dk_parts[s][gidx] = (
+                    dk_c if dk_parts[s][gidx] is None
+                    else dk_parts[s][gidx] + dk_c
+                )
+                dv_parts[s][gidx] = (
+                    dv_c if dv_parts[s][gidx] is None
+                    else dv_parts[s][gidx] + dv_c
+                )
+        # ONE read-modify-write per neighbor row: lane-concat the group
+        # slices back to full C first
+        for s, dx in ((0, -1), (1, 0), (2, 1)):
+            r = jax.lax.rem(i_row + dx + mx, mx)
+            dk_full = jnp.concatenate(dk_parts[s], axis=-1)
+            dv_full = jnp.concatenate(dv_parts[s], axis=-1)
+            dk_scr[r] += dk_full
+            dv_scr[r] += dv_full
+        return (tuple(db_new), tuple(dkg_new), tuple(dvg_new))
+
+    db_acc, dkg_acc, dvg_acc = jax.lax.fori_loop(
+        0, mx, body, (db0, glo0, glo0)
+    )
+
+    for r in range(mx):
+        dk_ref[0, r] = dk_scr[r].astype(dk_ref.dtype)
+        dv_ref[0, r] = dv_scr[r].astype(dv_ref.dtype)
+    for gi in range(nglo):
+        dkg_ref[0, gi : gi + 1] = jnp.concatenate(
+            dkg_acc[gi * nG : (gi + 1) * nG], axis=-1
+        )
+        dvg_ref[0, gi : gi + 1] = jnp.concatenate(
+            dvg_acc[gi * nG : (gi + 1) * nG], axis=-1
+        )
+    if has_bias:
+        for h in range(H):
+            @pl.when(b_idx == 0)
+            def _(h=h):
+                dbias_ref[h] = db_acc[h]
+
+            @pl.when(b_idx != 0)
+            def _(h=h):
+                dbias_ref[h] += db_acc[h]
+
+
+def _loop_vmem_bytes(mx, my, w2, C, H, nglo, has_bias, itemsize, ncls):
+    """VMEM estimate for one grid step of _bwd_kernel_img_loop: one row's
+    worth of f32 score temps (the loop reuses them), double-buffered image
+    refs, the f32 dK/dV scratch, and the comb tables."""
+    cols = nglo + 9 * w2
+    groups = _head_groups(H, C // H)
+    temp_rows = sum(5 * my * len(g) * w2 * cols * 4 for g in groups)
+    comb_bytes = (H if has_bias else 1) * ncls * my * w2 * cols * 4
+    n_pair = sum(1 for g in groups if len(g) == 2)
+    if n_pair:  # pair tables stack the two heads' rows
+        comb_bytes = (
+            (2 * n_pair + (H % 2) if has_bias else 2) * ncls * my * w2
+            * cols * 4
+        )
+    img = mx * my * w2 * C
+    return (
+        temp_rows
+        + 7 * 2 * img * itemsize  # q,k,v,g,dq,dk,dv ×2 grid buffers
+        + 2 * img * 4             # dk/dv f32 scratch
+        + comb_bytes
+        + (H * w2 * cols * 4 if has_bias else 0)
+    )
+
+
+def _backward_whole_image_loop(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
+                               interpret, lse=None):
+    """Loop-rolled whole-image fused backward (see _bwd_kernel_img_loop)."""
+    B, mx, my, w2, C = q.shape
+    nglo = 0 if k_glo is None else k_glo.shape[1]
+    has_bias = bias is not None
+    cols = nglo + 9 * w2
+    from .vil_kernel import build_comb, tail_mask_classes
+
+    bias_tail = None
+    if has_bias:
+        bias_tail = jnp.concatenate(
+            [bias[..., nglo:], bias[..., :nglo]], axis=-1
+        ).astype(jnp.float32)
+    classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
+    comb = build_comb(classes_host, bias_tail, w2)
+    groups = _head_groups(H, C // H)
+    comb_tables = pair_comb_tables(comb, groups, H)
+
+    img_spec = pl.BlockSpec(
+        (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [img_spec, img_spec, img_spec, img_spec]
+    operands = [q, k, v, g]
+    if nglo > 0:
+        kg_spec = pl.BlockSpec(
+            (1, my, nglo, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [kg_spec, kg_spec]
+        operands += [
+            jnp.broadcast_to(k_glo[:, None], (B, my, nglo, C)),
+            jnp.broadcast_to(v_glo[:, None], (B, my, nglo, C)),
+        ]
+    for tbl in comb_tables:
+        in_specs.append(
+            pl.BlockSpec(tbl.shape, lambda b: (0,) * 5,
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(tbl)
+    in_specs.append(
+        pl.BlockSpec((mx,), lambda b: (0,), memory_space=pltpu.SMEM)
+    )
+    operands.append(jnp.asarray(class_of, jnp.int32))
+    if lse is not None:
+        in_specs.append(
+            pl.BlockSpec((1, H, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(lse)
+
+    out_specs = [img_spec, img_spec, img_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    if nglo > 0:
+        glo_spec = pl.BlockSpec(
+            (1, nglo, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [glo_spec, glo_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, nglo, C), jnp.float32),
+        ]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((H, w2, cols), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((H, w2, cols), jnp.float32))
+
+    results = pl.pallas_call(
+        functools.partial(_bwd_kernel_img_loop, nglo, w2, mx, my, H, groups,
+                          has_bias, lse is not None),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((mx, my, w2, C), jnp.float32),
+            pltpu.VMEM((mx, my, w2, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+    it = iter(results)
+    dq, dk, dv = next(it), next(it), next(it)
+    dkg = dvg = dbias = None
+    if nglo > 0:
+        dkg = next(it).astype(k_glo.dtype)
+        dvg = next(it).astype(v_glo.dtype)
+    if has_bias:
+        db_tail = next(it)
+        nloc = 9 * w2
+        dbias = jnp.concatenate(
+            [db_tail[..., nloc:], db_tail[..., :nloc]], axis=-1
+        )
+    return dq, dk, dv, dkg, dvg, dbias
+
+
 def _bwd_kernel_tiled(nglo, w2, T, my, H, groups, has_bias, with_lse, *refs):
     """Super-row tiled fused backward (grid (B, n_tiles)) for images whose
     whole-image VMEM estimate exceeds the budget (e.g. 14×14-chunk 384²
@@ -1240,6 +1590,10 @@ def vil_attention_backward(
         + (bias.size * 4 if has_bias else 0)  # dbias accumulator
         + 2 * mx * my * w2 * C * 4
     )
+    if FORCE_BWD_LOOP:
+        return _backward_whole_image_loop(
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret, lse=lse
+        )
     if FORCE_TILE_T is not None:
         return _backward_tiled(
             q, k, v, k_glo, v_glo, bias, g, mask_add, H, FORCE_TILE_T,
@@ -1249,9 +1603,16 @@ def vil_attention_backward(
         return _backward_whole_image(
             q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret, lse=lse
         )
-    # too big for whole-image: super-row tiles keep the fused (no-stash)
-    # structure at 384²-class grids; the two-pass stash variant remains the
-    # last-resort fallback
+    # too big for the unrolled whole-image kernel: the LOOP-rolled variant
+    # keeps the fused whole-image structure (K/V resident once, no slabs)
+    # with only one row's temps live; super-row tiles and the two-pass
+    # stash variant remain the fallbacks
+    if FORCE_BWD_LOOP is None and _loop_vmem_bytes(
+        mx, my, w2, C, H, nglo, has_bias, q.dtype.itemsize, ncls
+    ) <= WHOLE_IMAGE_VMEM_BYTES:
+        return _backward_whole_image_loop(
+            q, k, v, k_glo, v_glo, bias, g, mask_add, H, interpret, lse=lse
+        )
     T = _pick_tile_rows(
         mx, my, w2, C, H, nglo, has_bias, q.dtype.itemsize,
         bias.size if has_bias else 0,

@@ -21,6 +21,15 @@ gates on ``block_fits`` and keeps them on the classic split kernels (which
 have row-grid/tiled tiers); the in-wrapper fallback to the differentiable
 XLA reference exists for off-TPU correctness only.
 
+VERDICT (measured, 1× v5e ViL-Small 224 b64): a DEAD END — default OFF
+(VIL_TPU_FUSED_BLOCK=0). Train 1517 vs 1668 img/s, inference 6712 vs 6745:
+the relayout copies it removes are cheaper than what it adds — the
+projections become my-batched (W², C)·(C, C) MXU dots (vs XLA's
+all-tokens conv GEMMs at near-peak), and the backward re-projects q/k/v
+and runs every dW GEMM in-kernel. Third documented angle on the relayout
+tax after 2-D-dot flattening and with_layout_constraint
+(docs/BENCHMARKS.md).
+
 The kernel also OUTPUTS the projected k/v image tensors: under shared
 weights the model's global-token branch consumes the same k/v
 (models/attention.py); their cotangents are folded into dx/dW with plain
@@ -252,7 +261,10 @@ def _block_bwd_kernel(nglo, w2, mx, my, H, groups, has_qkv_bias,
         # an unaligned sublane reshape Mosaic rejects (W² ∤ 8)
         g_row = g_ref[0, i_row]  # (my, W², C)
         dattn = _mm_rows(g_row, woT).astype(dtype)
-        dbo_t = jnp.sum(g_row.astype(jnp.float32), axis=1)  # (my, C)
+        # bias-grad accumulators stay 3-D (my, 1, C): a 2-D (my, C)
+        # sublane-reduced value carries an implicit-dim layout whose
+        # accumulator add Mosaic rejects (invalid relayout)
+        dbo_t = jnp.sum(g_row.astype(jnp.float32), axis=1, keepdims=True)
         dbo_acc = dbo_t if dbo_acc is None else dbo_acc + dbo_t
         rc = class_of[i_row]
         for gidx, grp in enumerate(groups):
@@ -374,7 +386,8 @@ def _block_bwd_kernel(nglo, w2, mx, my, H, groups, has_qkv_bias,
         )
         dwq_acc = dwq_t if dwq_acc is None else dwq_acc + dwq_t
         if has_qkv_bias:
-            dbq_t = jnp.sum(dq_row.astype(jnp.float32), axis=1)
+            dbq_t = jnp.sum(dq_row.astype(jnp.float32), axis=1,
+                            keepdims=True)
             dbq_acc = dbq_t if dbq_acc is None else dbq_acc + dbq_t
 
     # dk/dv full rows → dx and dWk/dWv/db (my-batched dots throughout)
@@ -401,9 +414,11 @@ def _block_bwd_kernel(nglo, w2, mx, my, H, groups, has_qkv_bias,
         )
         dwv_acc = dwv_t if dwv_acc is None else dwv_acc + dwv_t
         if has_qkv_bias:
-            dbk_t = jnp.sum(dk_r.astype(jnp.float32), axis=1)
+            dbk_t = jnp.sum(dk_r.astype(jnp.float32), axis=1,
+                            keepdims=True)
             dbk_acc = dbk_t if dbk_acc is None else dbk_acc + dbk_t
-            dbv_t = jnp.sum(dv_r.astype(jnp.float32), axis=1)
+            dbv_t = jnp.sum(dv_r.astype(jnp.float32), axis=1,
+                            keepdims=True)
             dbv_acc = dbv_t if dbv_acc is None else dbv_acc + dbv_t
 
     for gi in range(nglo):
@@ -413,7 +428,7 @@ def _block_bwd_kernel(nglo, w2, mx, my, H, groups, has_qkv_bias,
     # weight/bias grads: reduce the my-batch axis once, then accumulate
     # across the batch grid
     w_final = lambda a: jnp.sum(a, axis=0)  # (my, C, C) → (C, C)
-    b_final = lambda a: jnp.sum(a, axis=0, keepdims=True)  # (my, C) → (1, C)
+    b_final = lambda a: jnp.sum(a, axis=0)  # (my, 1, C) → (1, C)
     accs = [
         (dwq_ref, w_final(dwq_acc)), (dwk_ref, w_final(dwk_acc)),
         (dwv_ref, w_final(dwv_acc)), (dwo_ref, w_final(dwo_acc)),
