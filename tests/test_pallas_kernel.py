@@ -257,6 +257,50 @@ def test_row_grid_variant_matches_whole_image(monkeypatch, nglo, with_bias):
     )
 
 
+@pytest.mark.parametrize(
+    "nglo,with_bias,H,with_lse",
+    [(1, True, 2, False), (0, False, 3, True), (2, False, 2, True)],
+)
+def test_loop_rolled_whole_image_matches_unrolled(
+    monkeypatch, nglo, with_bias, H, with_lse
+):
+    """The LOOP-rolled whole-image forward (_mh_kernel_img_loop — traced
+    rows, SMEM row classes; selected when the unrolled variant's per-row f32
+    temporaries ×mx overflow the VMEM budget, e.g. 384² stage 1) must match
+    the statically unrolled kernel and the XLA oracle, incl. the LSE stash."""
+    BH, mx, my, w, M = 2, 3, 3, 3, 8
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 2, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(7), BH, mx, my, w, M * H, nglo, with_bias, H=H
+    )
+    monkeypatch.setattr(vil_kernel, "FORCE_FWD_LOOP", True)
+    out_loop = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
+        with_lse=with_lse,
+    )
+    monkeypatch.setattr(vil_kernel, "FORCE_FWD_LOOP", False)
+    out_unr = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
+        with_lse=with_lse,
+    )
+    if with_lse:
+        (out_loop, lse_loop), (out_unr, lse_unr) = out_loop, out_unr
+        np.testing.assert_allclose(
+            np.asarray(lse_loop), np.asarray(lse_unr), atol=1e-5, rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_loop), np.asarray(out_unr), atol=1e-6, rtol=1e-6
+    )
+    out_xla = vil_kernel._xla_reference_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_loop), np.asarray(out_xla), atol=1e-5, rtol=1e-5
+    )
+
+
 @pytest.mark.parametrize("with_bias,H", [(False, 2), (True, 3)])
 def test_fused_full_attention_matches_xla(monkeypatch, with_bias, H):
     from vil_tpu.ops.pallas import full_attention as fa

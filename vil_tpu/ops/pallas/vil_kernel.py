@@ -87,10 +87,22 @@ def hint_default_layout(*arrays):
     return out if len(out) != 1 else out[0]
 
 # whole-image kernels must fit their VMEM estimate under this budget; the
-# pallas_call raises the Mosaic scope to 64 MB (v5e runs ~20 MB scoped
-# allocations fine, measured). Tests monkeypatch this to 0 to force the
-# row-grid variant.
-WHOLE_IMAGE_VMEM_BYTES = 24 * 2**20
+# pallas_call raises the Mosaic scope to 64 MB, so the budget is that limit
+# minus margin. The estimate counts the per-row f32 score temporaries ×mx
+# for the UNROLLED variant: Mosaic does not reuse those stack slots across
+# a static row unroll (measured: the 14×14 @384 stage-1 APE shape requests
+# a 70.45 MB scope = operands + comb + mx × f32-score-row, while the old
+# one-row estimate said 23 MB and the compile died at the 64 MB limit).
+# Shapes whose unrolled estimate exceeds the budget run the LOOP-rolled
+# whole-image kernel (one row's temps live at a time); only shapes whose
+# K/V images don't fit at all drop to the row grid (3× K/V HBM reads).
+# Tests monkeypatch this to 0 to force the row-grid variant.
+WHOLE_IMAGE_VMEM_BYTES = 56 * 2**20
+
+# testing/benchmark knob: force the LOOP-rolled whole-image forward
+# (_mh_kernel_img_loop) on (True) or off (False). None = automatic by the
+# VMEM estimates above.
+FORCE_FWD_LOOP = None
 
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
@@ -342,6 +354,58 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
         if with_lse:
             for h in range(num_heads):
                 lse_ref[0, h, i_row] = lse_out[h]
+
+
+def _mh_kernel_img_loop(nglo: int, w2: int, mx: int, my: int,
+                        num_heads: int, groups, with_lse: bool,
+                        n_comb: int, *refs):
+    """LOOP-rolled whole-image forward body (grid (B,)) — identical math to
+    _mh_kernel_img, but the row loop is a ``lax.fori_loop`` so only ONE
+    row's f32 score-sized temporaries are live at a time (Mosaic does not
+    reuse stack slots across a static unroll; see _bwd_kernel_img_loop for
+    the backward twin). Grids whose unrolled estimate exceeds the budget
+    (e.g. 14×14-chunk 384² stage-1) keep the whole-image K/V residency —
+    one HBM read per K/V row — instead of dropping to the row grid (3×).
+
+    Traced-row consequences: rows are addressed with dynamic indices
+    (cyclic wrap via lax.rem) and the comb-table row class is a traced SMEM
+    read. Always runs on the combined bias+mask class tables.
+
+    refs: [q, k, v, (kg_row, vg_row)?, comb×n_comb, rc, out, (lse)?]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
+    comb_refs = tuple(refs[i : i + n_comb]); i += n_comb
+    rc_ref = refs[i]; i += 1  # (mx,) int32 SMEM: traced row classes
+    out_ref = refs[i]; i += 1
+    lse_ref = refs[i] if with_lse else None
+    C = q_ref.shape[-1]
+    M = C // num_heads
+    comb_pair = _comb_pair_refs(comb_refs, groups)
+
+    def body(i_row, carry):
+        im1 = jax.lax.rem(i_row + mx - 1, mx)
+        ip1 = jax.lax.rem(i_row + 1, mx)
+        k_rows = [k_ref[0, im1], k_ref[0, i_row], k_ref[0, ip1]]
+        v_rows = [v_ref[0, im1], v_ref[0, i_row], v_ref[0, ip1]]
+        lse_out = [] if with_lse else None
+        _attend_row(
+            q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
+            _nbh_rows(v_rows, my, vg_row),
+            None, None, None, groups, M, (out_ref, (0, i_row)), lse_out,
+            comb_row=(comb_pair, rc_ref[i_row]),
+        )
+        if with_lse:
+            for h in range(num_heads):
+                lse_ref[0, h, i_row] = lse_out[h]
+        return carry
+
+    jax.lax.fori_loop(0, mx, body, 0)
 
 
 def _comb_pair_refs(comb_refs, groups):
@@ -705,17 +769,26 @@ def _pallas_forward_mh(
     comb_bytes = (num_heads if has_bias else 1) * ncls * my * w2 * cols * 4
     groups = _fwd_groups(num_heads, C // num_heads)
 
-    # VMEM estimate for the whole-image variant: q/k/v/out resident (×2 for
-    # pipeline double-buffering), the comb table, plus one row of f32
-    # intermediates. Prefer whole-image when it fits comfortably in the
-    # default 16 MB scope — it reads K/V once from HBM (vs 3×) and amortizes
-    # per-step overhead mx-fold.
-    img_bytes = (
+    # VMEM estimates for the whole-image variants: q/k/v/out resident (×2
+    # for pipeline double-buffering) and the comb table, plus the f32
+    # score-row temporaries — ×mx for the statically UNROLLED kernel (Mosaic
+    # keeps every unrolled row's stack slots live; calibrated against the
+    # observed 70.45 MB scope of the 14×14 @384 stage-1 APE shape), ×1 for
+    # the LOOP-rolled kernel (one row live at a time). Whole-image reads K/V
+    # once from HBM (vs 3× for the row grid) and amortizes per-step overhead
+    # mx-fold; prefer unrolled (static row classes, cheapest addressing),
+    # fall back to loop-rolled, and only then to the row grid.
+    row_f32 = 3 * my * w2 * cols * 4  # live f32 score-row intermediates
+    base_bytes = (
         4 * 2 * q.size // B * q.dtype.itemsize  # q,k,v,out ×2 buffers
         + comb_bytes  # f32 comb table, fully resident
-        + 3 * my * w2 * cols * 4  # live f32 score-row intermediates
     )
-    whole_image = img_bytes <= WHOLE_IMAGE_VMEM_BYTES
+    unrolled_fits = base_bytes + mx * row_f32 <= WHOLE_IMAGE_VMEM_BYTES
+    whole_image = base_bytes + row_f32 <= WHOLE_IMAGE_VMEM_BYTES
+    use_loop = not unrolled_fits
+    if FORCE_FWD_LOOP is not None:
+        use_loop = FORCE_FWD_LOOP
+    use_loop = whole_image and use_loop
     mask_tail = None
     comb_tables = []
     if whole_image:
@@ -743,10 +816,16 @@ def _pallas_forward_mh(
             (1, num_heads, mx, my, w2), lambda b: (b, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        kernel = functools.partial(
-            _mh_kernel_img, nglo, w2, mx, my, num_heads, groups, has_bias,
-            with_lse, class_of, len(comb_tables),
-        )
+        if use_loop:
+            kernel = functools.partial(
+                _mh_kernel_img_loop, nglo, w2, mx, my, num_heads, groups,
+                with_lse, len(comb_tables),
+            )
+        else:
+            kernel = functools.partial(
+                _mh_kernel_img, nglo, w2, mx, my, num_heads, groups,
+                has_bias, with_lse, class_of, len(comb_tables),
+            )
     else:
         row_block = (1, 1, my, w2, C)
         q_spec = pl.BlockSpec(
@@ -802,6 +881,13 @@ def _pallas_forward_mh(
                              memory_space=pltpu.VMEM)
             )
             operands.append(tbl)
+        if use_loop:
+            # loop-rolled rows address the comb tables by a traced SMEM
+            # row-class read (same pattern as the halo kernel)
+            in_specs.append(
+                pl.BlockSpec((mx,), lambda b: (0,), memory_space=pltpu.SMEM)
+            )
+            operands.append(jnp.asarray(class_of, dtype=jnp.int32))
     else:
         if has_bias:
             in_specs.append(
