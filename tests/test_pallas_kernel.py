@@ -340,6 +340,49 @@ def test_fused_full_attention_matches_xla(monkeypatch, with_bias, H):
         )
 
 
+@pytest.mark.parametrize("with_bias,H", [(False, 2), (True, 3)])
+def test_fused_full_attention_backward_kernel(monkeypatch, with_bias, H):
+    """The fused full-attention BACKWARD kernel (r3: LSE-stashed forward,
+    one-exp-pass probs, all five GEMMs in VMEM, in-kernel dbias accumulated
+    across the batch grid) must match jax.vjp of the XLA reference, and the
+    XLA-recompute fallback (pallas_bwd=False) must agree with both."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    B, N, M = 3, 17, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(9), 5)
+    q = jax.random.normal(ks[0], (B, N, C)) * 0.5
+    k = jax.random.normal(ks[1], (B, N, C)) * 0.5
+    v = jax.random.normal(ks[2], (B, N, C))
+    bias = jax.random.normal(ks[3], (H, N, N)) * 0.3 if with_bias else None
+    g = jax.random.normal(ks[4], (B, N, C))
+
+    def run(fused):
+        out, vjp = jax.vjp(lambda *a: fused(*a), q, k, v, bias)
+        return out, vjp(g)
+
+    out_f, grads_f = run(fa.make_fused_full_attention(H))
+    out_r, grads_r = run(fa.make_fused_full_attention(H, pallas_bwd=False))
+    _, vjp_x = jax.vjp(lambda *a: fa._xla_reference(*a, H), q, k, v, bias)
+    grads_x = vjp_x(g)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_r), atol=1e-5, rtol=1e-5
+    )
+    for name, a, b, c in zip(
+        ["dq", "dk", "dv", "dbias"], grads_f, grads_r, grads_x
+    ):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=5e-5, rtol=5e-5, err_msg=name
+        )
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(c), atol=5e-5, rtol=5e-5, err_msg=name
+        )
+
+
 def test_full_attention_module_fused_matches_xla(monkeypatch):
     """FullAttention module: fused kernel path ≡ XLA path (same params)."""
     from vil_tpu.models.attention import FullAttention

@@ -268,6 +268,57 @@ def run_smoke(verbose: bool = True) -> dict:
             f"grad err {e_grad_h:.2e} -> {'PASS' if passed_h else 'FAIL'}",
             file=sys.stderr,
         )
+    # dense full-attention kernels (ops/pallas/full_attention.py): fwd (LSE
+    # stash) + fused Pallas BACKWARD (r3) compiled vs jax.vjp of the XLA
+    # reference, bf16, with bias (exercises the in-kernel dbias accumulation
+    # across the batch grid).
+    from vil_tpu.ops.pallas import full_attention as fa_mod
+
+    if jax.default_backend() != "tpu":
+        fa_mod.INTERPRET = True
+    Nf, Hf, Mf = 197, 6, 64
+    Cf = Hf * Mf
+    kf = jax.random.split(jax.random.PRNGKey(41), 5)
+    qf, kkf, vf = (
+        (jax.random.normal(kf[i], (B, Nf, Cf), jnp.float32) * scale).astype(
+            jnp.bfloat16
+        )
+        for i in range(3)
+    )
+    bias_f = jax.random.normal(kf[3], (Hf, Nf, Nf), jnp.float32) * 0.3
+    fused_fa = fa_mod.make_fused_full_attention(Hf)
+
+    @jax.jit
+    def fa_pair(q, k, v, bias):
+        loss_f = lambda q, k, v, b: jnp.sum(
+            fused_fa(q, k, v, b).astype(jnp.float32) ** 2
+        )
+        loss_x = lambda q, k, v, b: jnp.sum(
+            fa_mod._xla_reference(
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), b, Hf,
+            ) ** 2
+        )
+        of, gf = jax.value_and_grad(loss_f, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        ox, gx = jax.value_and_grad(loss_x, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        return of, ox, gf, gx
+
+    of, ox, gf, gx = fa_pair(qf, kkf, vf, bias_f)
+    e_fwd_f = float(jnp.abs(of - ox) / jnp.abs(ox))
+    e_grad_f = max(_max_err(a, b) for a, b in zip(gf, gx))
+    passed_f = e_fwd_f <= 5e-2 and e_grad_f <= 5e-1  # bf16 tolerances
+    ok &= passed_f
+    results["full_attn"] = {
+        "fwd_loss_rel_err": round(e_fwd_f, 6),
+        "grad_max_err": round(e_grad_f, 6),
+        "pass": passed_f,
+    }
+    if verbose:
+        print(
+            f"kernel smoke [full_attn] loss rel err {e_fwd_f:.2e} "
+            f"grad err {e_grad_f:.2e} -> {'PASS' if passed_f else 'FAIL'}",
+            file=sys.stderr,
+        )
     results["ok"] = ok
     return results
 

@@ -16,8 +16,14 @@ Design notes (shared with vil_kernel):
 * Optional joint global+local relative position bias (H, N, N) added to the
   scores (msvit.py:93-114 semantics — the bias table is assembled by the
   caller, the kernel just adds it).
-* Backward recomputes through plain XLA einsums under ``jax.custom_vjp``
-  (the score matrix is cheap at these N; no residuals are saved).
+* Backward (r3): a fused whole-image Pallas kernel — the forward stashes the
+  per-query log-sum-exp, the backward recomputes the normalized probabilities
+  in ONE exp pass and runs all five GEMMs (S, dP, dV, dQ, dK) with the score
+  tensors resident in VMEM. At 384² stage 3 (16 blocks, N=577) the XLA
+  recompute backward materialized (B, H, N, N) f32 score tensors in HBM and
+  spent ~5 ms/step in softmax-recompute loop fusions. dBias accumulates
+  in-kernel across the batch grid. Shapes over the VMEM budget (or with
+  attention dropout) keep the XLA recompute fallback.
 """
 from __future__ import annotations
 
@@ -32,12 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 # flip in CPU tests for interpreter mode
 INTERPRET = False
 
-# whole-image kernel VMEM budget (default Mosaic scope is 16 MB)
-VMEM_BUDGET_BYTES = 10 * 2**20
+# whole-image kernel VMEM budgets: the pallas_calls raise the Mosaic scope to
+# 64 MB; estimates count every statically-unrolled head's f32 score-sized
+# temporaries (Mosaic does not reuse stack slots across the head unroll —
+# same lesson as vil_kernel's row unroll).
+VMEM_BUDGET_BYTES = 56 * 2**20
 
 
-def _kernel(num_heads: int, has_bias: bool, *refs):
-    """refs: [q, k, v, (bias)?, out]; q/k/v/out blocks (1, N, C)."""
+def _kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
+    """refs: [q, k, v, (bias)?, out, (lse)?]; q/k/v/out blocks (1, N, C);
+    lse (1, H, N) f32 — per-query log-sum-exp stashed for the fused
+    backward (train path)."""
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
@@ -45,7 +56,8 @@ def _kernel(num_heads: int, has_bias: bool, *refs):
     bias = None
     if has_bias:
         bias = refs[i]; i += 1
-    out_ref = refs[i]
+    out_ref = refs[i]; i += 1
+    lse_ref = refs[i] if with_lse else None
 
     q = q_ref[0]  # (N, C)
     k = k_ref[0]
@@ -64,7 +76,10 @@ def _kernel(num_heads: int, has_bias: bool, *refs):
             scores = scores + bias[h]
         m = jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores - m).astype(q_h.dtype)  # unnormalized
-        recip = 1.0 / jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+        denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+        if with_lse:
+            lse_ref[0, h] = (m + jnp.log(denom))[:, 0]
+        recip = 1.0 / denom
         acc = jax.lax.dot_general(
             probs, v[:, hs : hs + M], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -81,9 +96,11 @@ def _pallas_forward(
     num_heads: int,
     *,
     interpret: Optional[bool] = None,
+    with_lse: bool = False,
 ) -> jax.Array:
     """q, k, v: (B, N, C) with q pre-scaled; bias: (H, N, N) f32 or None.
-    Returns (B, N, C)."""
+    Returns (B, N, C); with ``with_lse`` returns (out, lse) where lse
+    (B, H, N) f32 feeds the fused backward."""
     B, N, C = q.shape
     has_bias = bias is not None
     if interpret is None:
@@ -100,16 +117,162 @@ def _pallas_forward(
         )
         operands.append(bias.astype(jnp.float32))
 
+    out_specs = blk
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    if with_lse:
+        out_specs = [blk, pl.BlockSpec(
+            (1, num_heads, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, num_heads, N), jnp.float32),
+        ]
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads, has_bias),
+        functools.partial(_kernel, num_heads, has_bias, with_lse),
         grid=(B,),
         in_specs=in_specs,
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * N * N * C,
             bytes_accessed=4 * q.size * q.dtype.itemsize,
             transcendentals=B * num_heads * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def _bwd_kernel(num_heads: int, has_bias: bool, *refs):
+    """Fused backward body (grid (B,)). refs: [q, k, v, g, lse, (bias)?,
+    dq, dk, dv, (dbias)?]; q/k/v/g/dq/dk/dv blocks (1, N, C); lse (1, H, N)
+    f32; bias/dbias (H, N, N) f32 — dbias ACCUMULATES across the sequential
+    batch grid (init at step 0).
+
+    Per head: S = q_h·k_hᵀ (+bias); P = exp(S − lse) — already normalized,
+    ONE exp pass, no max/sum recompute; dP = g_h·v_hᵀ; δ = Σ_j P⊙dP (equal to
+    Σ_m g⊙out without loading out); dS = P⊙(dP − δ); dV = Pᵀ·g_h;
+    dQ = dS·k_h; dK = dSᵀ·q_h. All (N, N) tensors live only in VMEM."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    g_ref = refs[i]; i += 1
+    lse_ref = refs[i]; i += 1
+    bias = None
+    if has_bias:
+        bias = refs[i]; i += 1
+    dq_ref = refs[i]; i += 1
+    dk_ref = refs[i]; i += 1
+    dv_ref = refs[i]; i += 1
+    dbias_ref = refs[i] if has_bias else None
+
+    q = q_ref[0]  # (N, C)
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    C = q.shape[-1]
+    M = C // num_heads
+    first = pl.program_id(0) == 0
+    for h in range(num_heads):
+        hs = h * M
+        sl = slice(hs, hs + M)
+        q_h = q[:, sl]
+        k_h = k[:, sl]
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, N)
+        if bias is not None:
+            scores = scores + bias[h]
+        # normalized probs in ONE exp pass from the forward-stashed LSE,
+        # rounded to the compute dtype exactly like the forward's PV operand
+        probs = jnp.exp(scores - lse_ref[0, h][:, None]).astype(q_h.dtype)
+        g_h = g[:, sl]
+        dp = jax.lax.dot_general(
+            g_h, v[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, N)
+        delta = jnp.sum(
+            probs.astype(jnp.float32) * dp, axis=-1, keepdims=True
+        )  # (N, 1) == rowsum(g ⊙ out)
+        ds = (probs.astype(jnp.float32) * (dp - delta))
+        if dbias_ref is not None:
+            @pl.when(first)
+            def _():
+                dbias_ref[h] = ds
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                dbias_ref[h] += ds
+        ds = ds.astype(q_h.dtype)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            probs, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dq_ref[0, :, sl] = jax.lax.dot_general(
+            ds, k_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _pallas_backward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    g: jax.Array,
+    lse: jax.Array,
+    bias: Optional[jax.Array],
+    num_heads: int,
+    *,
+    interpret: Optional[bool] = None,
+):
+    """Fused backward: returns (dq, dk, dv[, dbias]) — dbias (H, N, N) f32
+    summed over the batch, present only when ``bias`` is."""
+    B, N, C = q.shape
+    has_bias = bias is not None
+    if interpret is None:
+        interpret = INTERPRET
+
+    blk = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec(
+        (1, num_heads, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [blk, blk, blk, blk, lse_spec]
+    operands = [q, k, v, g, lse]
+    bias_spec = pl.BlockSpec(
+        (num_heads, N, N), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    if has_bias:
+        in_specs.append(bias_spec)
+        operands.append(bias.astype(jnp.float32))
+
+    out_specs = [blk, blk, blk]
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(3)]
+    if has_bias:
+        out_specs.append(bias_spec)
+        out_shape.append(
+            jax.ShapeDtypeStruct((num_heads, N, N), jnp.float32)
+        )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads, has_bias),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * N * N * C,
+            bytes_accessed=7 * q.size * q.dtype.itemsize,
+            transcendentals=B * num_heads * N * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
@@ -137,19 +300,39 @@ def _xla_reference(q, k, v, bias, num_heads):
 
 
 def supported(B: int, N: int, C: int, num_heads: int, has_bias: bool) -> bool:
-    """True when the whole-image kernel fits the VMEM budget."""
+    """True when the whole-image forward kernel fits the VMEM budget.
+    Per-head f32 score-sized temporaries count ×num_heads — the head loop is
+    a static unroll and Mosaic does not reuse its stack slots."""
     itemsize = 2  # bf16 compute path
     est = (
         4 * 2 * N * C * itemsize  # q, k, v, out ×2 pipeline buffers
         + (num_heads * N * N * 4 if has_bias else 0)
-        + 3 * N * N * 4  # live f32 score/prob intermediates
+        + num_heads * 8 * N * N  # scores f32 + probs + reduction temps
     )
     return est <= VMEM_BUDGET_BYTES
 
 
-def make_fused_full_attention(num_heads: int, use_pallas: bool = True):
-    """Dense attention with custom VJP. Forward: fused Pallas kernel;
-    backward: XLA recompute (nothing saved but the inputs)."""
+def supported_bwd(B: int, N: int, C: int, num_heads: int,
+                  has_bias: bool) -> bool:
+    """True when the fused backward kernel fits the VMEM budget (per-head:
+    S f32, P bf16, dP f32, dS f32+bf16 ≈ 16 bytes/score element, unrolled
+    ×num_heads; with bias both the bias and the resident dbias accumulator
+    are full (H, N, N) f32 tensors)."""
+    itemsize = 2
+    est = (
+        7 * 2 * N * C * itemsize  # q, k, v, g, dq, dk, dv ×2 buffers
+        + (2 * num_heads * N * N * 4 if has_bias else 0)  # bias + dbias
+        + num_heads * 16 * N * N
+    )
+    return est <= VMEM_BUDGET_BYTES
+
+
+def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
+                              pallas_bwd: bool = True):
+    """Dense attention with custom VJP. Forward: fused Pallas kernel (the
+    train path also stashes the per-query log-sum-exp); backward: fused
+    Pallas kernel when the shape fits ``supported_bwd``, else XLA recompute
+    from the saved inputs."""
 
     @jax.custom_vjp
     def fused(q, k, v, bias):
@@ -158,10 +341,32 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True):
         return _xla_reference(q, k, v, bias, num_heads)
 
     def fwd(q, k, v, bias):
-        return fused(q, k, v, bias), (q, k, v, bias)
+        B, N, C = q.shape
+        fused_bwd = (
+            use_pallas
+            and pallas_bwd
+            and supported_bwd(B, N, C, num_heads, bias is not None)
+        )
+        if fused_bwd:
+            out, lse = _pallas_forward(
+                q, k, v, bias, num_heads, with_lse=True
+            )
+            return out, (q, k, v, bias, lse)
+        out = (
+            _pallas_forward(q, k, v, bias, num_heads)
+            if use_pallas
+            else _xla_reference(q, k, v, bias, num_heads)
+        )
+        return out, (q, k, v, bias, None)
 
     def bwd(res, g):
-        q, k, v, bias = res
+        q, k, v, bias, lse = res
+        if lse is not None:
+            grads = _pallas_backward(q, k, v, g, lse, bias, num_heads)
+            dq, dk, dv = grads[:3]
+            dbias = grads[3].astype(bias.dtype) if bias is not None else None
+            return dq, dk, dv, dbias
+
         diff_args = tuple(a for a in (q, k, v, bias) if a is not None)
 
         def wrapped(*args):
