@@ -103,6 +103,43 @@ def test_mode_fused_row_grid_variant(monkeypatch):
     )
 
 
+def test_mode_bf16_scores_flag(monkeypatch):
+    """BF16_SCORES on the sampled-mode kernels: grads with the flag ON stay
+    consistent with the flag-OFF bf16 path (fwd rounding matches the bwd
+    recompute), and the bf16 forward tracks the f32 XLA tier loosely."""
+    from vil_tpu.ops.pallas import vil_kernel as vk
+
+    fused_m, xla_m, params, x, nx, ny = _pair(1, True, H=3, C=24)
+    xb = x.astype(jnp.bfloat16)
+    m = jnp.asarray(4)
+
+    out_x = xla_m.apply(params, x, nx, ny, True, m)
+    monkeypatch.setattr(vk, "BF16_SCORES", True)
+    out_f = fused_m.apply(params, xb, nx, ny, True, m)
+    np.testing.assert_allclose(
+        np.asarray(out_f, np.float32), np.asarray(out_x), atol=5e-2
+    )
+
+    def grads():
+        return jax.grad(
+            lambda p, xx: jnp.sum(
+                fused_m.apply(p, xx, nx, ny, True, m).astype(jnp.float32)
+                ** 2
+            ),
+            argnums=(0, 1),
+        )(params, xb)
+
+    g_on = grads()
+    monkeypatch.setattr(vk, "BF16_SCORES", False)
+    g_off = grads()
+    flat_on, _ = jax.flatten_util.ravel_pytree(g_on)
+    flat_off, _ = jax.flatten_util.ravel_pytree(g_off)
+    np.testing.assert_allclose(
+        np.asarray(flat_on, np.float32), np.asarray(flat_off, np.float32),
+        atol=0.2,
+    )
+
+
 def test_mode_fused_chunked_layout():
     """The persistent chunked stage layout takes the same fused path."""
     from vil_tpu.ops import sliding_chunk as sc

@@ -383,6 +383,115 @@ def test_fused_full_attention_backward_kernel(monkeypatch, with_bias, H):
         )
 
 
+@pytest.mark.parametrize("nglo,with_bias,H", [(1, True, 3), (0, False, 2)])
+def test_bf16_scores_flag(monkeypatch, nglo, with_bias, H):
+    """VIL_TPU_BF16_SCORES: bf16 end-to-end score tensor (MXU emits bf16,
+    comb add / max / exp packed-bf16). Must track the f32 XLA oracle within
+    bf16-score tolerance on BOTH grid variants, and the custom-VJP LSE path
+    (f32 lse from bf16 m) must keep grads close."""
+    B, mx, my, w, M = 2, 3, 3, 3, 8
+    C = H * M
+    w2 = w * w
+    mask_add = vil_kernel.mask_to_additive(
+        masks_lib.invalid_mask(mx, my, 1, 2, w, 0, 0), mx, my, w2, nglo
+    )
+    q, k, v, kg, vg, bias = _random_inputs(
+        jax.random.PRNGKey(11), B, mx, my, w, C, nglo, with_bias, H=H
+    )
+    # tame the score magnitudes like tools/tpu_kernel_smoke.py — at unit
+    # scale the bf16 score rounding itself dominates the comparison
+    q, k = q * 0.5, k * 0.5
+    if kg is not None:
+        kg = kg * 0.5
+    args_bf = tuple(
+        None if a is None else a.astype(jnp.bfloat16)
+        for a in (q, k, v, kg, vg)
+    )
+    out_x = vil_kernel._xla_reference_mh(q, k, v, kg, vg, bias, mask_add, H)
+    monkeypatch.setattr(vil_kernel, "BF16_SCORES", True)
+    out_p = vil_kernel._pallas_forward_mh(
+        *args_bf, bias, mask_add, H, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p, np.float32), np.asarray(out_x), atol=5e-2
+    )
+    # row-grid variant with bf16 mask/bias tables
+    budget = vil_kernel.WHOLE_IMAGE_VMEM_BYTES
+    monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", 0)
+    out_row = vil_kernel._pallas_forward_mh(
+        *args_bf, bias, mask_add, H, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_row, np.float32), np.asarray(out_x), atol=5e-2
+    )
+    monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", budget)
+    # custom-VJP grads: flag ON (bf16 scores + f32 LSE stash feeding the
+    # f32-score backward) vs flag OFF (all-f32 scores) on the SAME bf16
+    # inputs — the difference is one bf16 rounding of the forward scores
+    fused = vil_kernel.make_fused_vil_attention_mh(mask_add, H)
+    diff_bf = tuple(a for a in (*args_bf, bias) if a is not None)
+
+    def grads():
+        return jax.grad(
+            lambda *a: jnp.sum(fused(*_restore(a, (q, k, v, kg, vg, bias))
+                                     ).astype(jnp.float32) ** 2),
+            argnums=tuple(range(len(diff_bf))),
+        )(*diff_bf)
+
+    g_on = grads()
+    monkeypatch.setattr(vil_kernel, "BF16_SCORES", False)
+    g_off = grads()
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=0.2
+        )
+
+
+def _restore(args, template):
+    """Re-insert Nones for absent operands (kg/vg/bias) in template order."""
+    it = iter(args)
+    return tuple(next(it) if t is not None else None for t in template)
+
+
+def test_full_attention_bf16_scores_flag(monkeypatch):
+    """BF16_SCORES on the dense (s=0 stage) kernels: bf16 forward tracks the
+    f32 oracle; fused-backward grads stay consistent with the flag-off bf16
+    path (one bf16 rounding of the scores apart)."""
+    from vil_tpu.ops.pallas import full_attention as fa
+    from vil_tpu.ops.pallas import vil_kernel as vk
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    B, N, H, M = 2, 17, 3, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(13), 5)
+    q = jax.random.normal(ks[0], (B, N, C)) * 0.5
+    k = jax.random.normal(ks[1], (B, N, C)) * 0.5
+    v = jax.random.normal(ks[2], (B, N, C))
+    bias = jax.random.normal(ks[3], (H, N, N)) * 0.3
+    g = jax.random.normal(ks[4], (B, N, C))
+    qb, kb, vb, gb = (a.astype(jnp.bfloat16) for a in (q, k, v, g))
+
+    monkeypatch.setattr(vk, "BF16_SCORES", True)
+    out_on = fa._pallas_forward(qb, kb, vb, bias, H, interpret=True)
+    out_x = fa._xla_reference(q, k, v, bias, H)
+    np.testing.assert_allclose(
+        np.asarray(out_on, np.float32), np.asarray(out_x), atol=5e-2
+    )
+
+    def grads():
+        fused = fa.make_fused_full_attention(H)
+        _, vjp = jax.vjp(lambda *a: fused(*a), qb, kb, vb, bias)
+        return vjp(gb)
+
+    g_on = grads()
+    monkeypatch.setattr(vk, "BF16_SCORES", False)
+    g_off = grads()
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=0.2
+        )
+
+
 def test_full_attention_module_fused_matches_xla(monkeypatch):
     """FullAttention module: fused kernel path ≡ XLA path (same params)."""
     from vil_tpu.models.attention import FullAttention

@@ -38,6 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 # flip in CPU tests for interpreter mode
 INTERPRET = False
 
+
+def _score_dtype(dtype):
+    """Score-tensor dtype (vil_kernel.score_dtype — bf16 under
+    VIL_TPU_BF16_SCORES for bf16 inputs, else f32)."""
+    from .vil_kernel import score_dtype
+
+    return score_dtype(dtype)
+
 # whole-image kernel VMEM budgets: the pallas_calls raise the Mosaic scope to
 # 64 MB; estimates count every statically-unrolled head's f32 score-sized
 # temporaries (Mosaic does not reuse stack slots across the head unroll —
@@ -70,8 +78,8 @@ def _kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
         q_h = q[:, hs : hs + M]
         scores = jax.lax.dot_general(
             q_h, k[:, hs : hs + M], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (N, N)
+            preferred_element_type=_score_dtype(q_h.dtype),
+        )  # (N, N) — bf16 under BF16_SCORES (bias arrives pre-cast)
         if bias is not None:
             scores = scores + bias[h]
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -115,7 +123,7 @@ def _pallas_forward(
                 (num_heads, N, N), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
             )
         )
-        operands.append(bias.astype(jnp.float32))
+        operands.append(bias.astype(_score_dtype(q.dtype)))
 
     out_specs = blk
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
@@ -183,8 +191,8 @@ def _bwd_kernel(num_heads: int, has_bias: bool, *refs):
         k_h = k[:, sl]
         scores = jax.lax.dot_general(
             q_h, k_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (N, N)
+            preferred_element_type=_score_dtype(q_h.dtype),
+        )  # (N, N) — bf16 under BF16_SCORES, matching the forward rounding
         if bias is not None:
             scores = scores + bias[h]
         # normalized probs in ONE exp pass from the forward-stashed LSE,
@@ -251,7 +259,7 @@ def _pallas_backward(
     )
     if has_bias:
         in_specs.append(bias_spec)
-        operands.append(bias.astype(jnp.float32))
+        operands.append(bias.astype(_score_dtype(q.dtype)))
 
     out_specs = [blk, blk, blk]
     out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype) for _ in range(3)]

@@ -87,6 +87,14 @@ FORCE_BWD_LOOP = None
 PAIR_HEADS = None
 
 
+def _score_dtype(dtype):
+    """Score-tensor dtype for the recompute GEMMs (vil_kernel.score_dtype —
+    bf16 under VIL_TPU_BF16_SCORES for bf16 inputs, else f32)."""
+    from . import vil_kernel
+
+    return vil_kernel.score_dtype(dtype)
+
+
 def _probs_lse(scores, lse_row, dtype):
     """Normalized probabilities p = exp(scores − L) from the stashed LSE.
 
@@ -320,8 +328,9 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                 q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (my, G·W², cols)
+                preferred_element_type=_score_dtype(q_g.dtype),
+            )  # (my, G·W², cols) — bf16 under BF16_SCORES, matching the
+            # forward's rounding so the recomputed probs stay consistent
             if use_comb:
                 # combined bias+mask class table: one add (vil_kernel
                 # build_comb); rc is static via the unrolled row loop, or a
@@ -651,7 +660,10 @@ def _backward_whole_image(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
     classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
     comb = build_comb(classes_host, bias_tail, w2)
     groups = _head_groups(H, C // H)
-    comb_tables = pair_comb_tables(comb, groups, H)
+    comb_tables = [
+        t.astype(_score_dtype(q.dtype))
+        for t in pair_comb_tables(comb, groups, H)
+    ]
 
     img_block = (1, mx, my, w2, C)
     img_spec = pl.BlockSpec(
@@ -758,7 +770,10 @@ def backward_whole_image_halo(q, k_ext, v_ext, k_glo, v_glo, bias, g,
         ).astype(jnp.float32)
     comb = build_comb(np.asarray(classes_host, np.float32), bias_tail, w2)
     groups = _head_groups(H, C // H)
-    comb_tables = pair_comb_tables(comb, groups, H)
+    comb_tables = [
+        t.astype(_score_dtype(q.dtype))
+        for t in pair_comb_tables(comb, groups, H)
+    ]
 
     img_spec = pl.BlockSpec(
         (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
@@ -945,7 +960,7 @@ def _bwd_kernel_img_loop(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                 q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_score_dtype(q_g.dtype),
             )
             if G == 2:
                 scores = scores + combp_ref[
@@ -1096,7 +1111,10 @@ def _backward_whole_image_loop(q, k, v, k_glo, v_glo, bias, g, mask_add, H,
     classes_host, class_of = tail_mask_classes(np.asarray(mask_add), nglo)
     comb = build_comb(classes_host, bias_tail, w2)
     groups = _head_groups(H, C // H)
-    comb_tables = pair_comb_tables(comb, groups, H)
+    comb_tables = [
+        t.astype(_score_dtype(q.dtype))
+        for t in pair_comb_tables(comb, groups, H)
+    ]
 
     img_spec = pl.BlockSpec(
         (1, mx, my, w2, C), lambda b: (b, 0, 0, 0, 0),
@@ -1279,7 +1297,7 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, groups, has_bias, with_lse, *refs):
                 q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=_score_dtype(q_g.dtype),
             )  # (my, G·W², cols)
             if has_bias:
                 scores = scores + bias_grp[gidx][None]
@@ -1426,12 +1444,13 @@ def _backward_tiled(q, k, v, k_glo, v_glo, bias, g, mask_add, H, T, interpret,
     assert n_tiles * T == mx
     from .vil_kernel import expand_tail_mask
 
-    mask_tail = expand_tail_mask(mask_add, nglo, w2)
+    sd = _score_dtype(q.dtype)
+    mask_tail = expand_tail_mask(mask_add, nglo, w2).astype(sd)
     bias_tail = None
     if has_bias:
         bias_tail = jnp.concatenate(
             [bias[..., nglo:], bias[..., :nglo]], axis=-1
-        ).astype(jnp.float32)
+        ).astype(sd)
 
     tile_block = (1, T, my, w2, C)
 

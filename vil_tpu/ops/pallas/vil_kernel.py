@@ -70,6 +70,24 @@ LAYOUT_HINT = _os.environ.get("VIL_TPU_LAYOUT_HINT", "") == "1"
 # VIL_TPU_BF16_EXP=0. No throughput win is claimed.
 BF16_EXP = _os.environ.get("VIL_TPU_BF16_EXP", "1") == "1"
 
+# Experiment flag (A/B via VIL_TPU_BF16_SCORES=1): keep the FORWARD score
+# tensor in bf16 end-to-end when the kernel computes in bf16 — the MXU
+# accumulates the QKᵀ dot in f32 internally and rounds ONCE on output, and
+# the comb-table add, row max, subtract and exp then all run as packed-bf16
+# VPU ops at 2× the f32 rate with half the VMEM traffic. The softmax
+# DENOMINATOR still accumulates in f32 from the rounded probs and the
+# stashed log-sum-exp stays f32 (m is an exact bf16 value; log(Σp) is f32),
+# so the fused backward's math is unchanged. Numerics: one bf16 rounding of
+# the scores (~0.4% relative) on top of the existing bf16 prob rounding.
+BF16_SCORES = _os.environ.get("VIL_TPU_BF16_SCORES", "0") == "1"
+
+
+def score_dtype(dtype) -> jnp.dtype:
+    """f32, or bf16 for bf16 inputs under the BF16_SCORES experiment."""
+    if BF16_SCORES and dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
 
 def hint_default_layout(*arrays):
     """with_layout_constraint(default row-major) on each non-None array."""
@@ -183,8 +201,9 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
         q_in = _stack_bd(q_g, M) if G == 2 else q_g
         scores = jax.lax.dot_general(
             q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (my, G·W2, 9W2+Nglo)
+            preferred_element_type=score_dtype(q_g.dtype),
+        )  # (my, G·W2, 9W2+Nglo) — bf16 under BF16_SCORES (the MXU still
+        # accumulates f32 internally; comb/mask tables arrive pre-cast)
         if comb_row is not None:
             # combined bias+mask class table: ONE VPU add per group
             # (build_comb / pair_comb_tables); rc is a static int when rows
@@ -491,10 +510,13 @@ def _pallas_forward_halo(
     from .vil_backward import pair_comb_tables
 
     groups = _fwd_groups(num_heads, C // num_heads)
-    comb_tables = pair_comb_tables(
-        build_comb(np.asarray(classes_host, np.float32), bias_tail, w2),
-        groups, num_heads,
-    )
+    comb_tables = [
+        t.astype(score_dtype(q.dtype))
+        for t in pair_comb_tables(
+            build_comb(np.asarray(classes_host, np.float32), bias_tail, w2),
+            groups, num_heads,
+        )
+    ]
     row_class = row_class.astype(jnp.int32)
 
     img_spec = pl.BlockSpec(
@@ -754,6 +776,7 @@ def _pallas_forward_mh(
     # (the global K rows ride the main GEMM operand) — reorder the mask/bias
     # tables here, outside the kernel, where the lane shuffle is free
     wq = w2
+    sd = score_dtype(q.dtype)  # table dtype must match the score tensor's
     bias_tail = None
     if has_bias:
         bias_tail = jnp.concatenate(
@@ -794,12 +817,15 @@ def _pallas_forward_mh(
     if whole_image:
         from .vil_backward import pair_comb_tables
 
-        comb_tables = pair_comb_tables(
-            build_comb(classes_host, bias_tail, w2), groups, num_heads
-        )
+        comb_tables = [
+            t.astype(sd)
+            for t in pair_comb_tables(
+                build_comb(classes_host, bias_tail, w2), groups, num_heads
+            )
+        ]
     else:
         class_of = None
-        mask_tail = expand_tail_mask(mask_add, nglo, w2)
+        mask_tail = expand_tail_mask(mask_add, nglo, w2).astype(sd)
 
     operands = [q, k, v] if whole_image else [q, k, k, k, v, v, v]
     if whole_image:
@@ -895,7 +921,7 @@ def _pallas_forward_mh(
                     (num_heads, w2, cols), const_idx, memory_space=pltpu.VMEM
                 )
             )
-            operands.append(bias_tail)
+            operands.append(bias_tail.astype(sd))
         in_specs.append(mask_spec)
         operands.append(jnp.asarray(mask_tail))
 

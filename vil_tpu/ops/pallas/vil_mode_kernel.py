@@ -39,7 +39,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .vil_backward import _head_groups, _probs_lse, _probs_softmax, _stack_bd
+from .vil_backward import (
+    _head_groups,
+    _probs_lse,
+    _probs_softmax,
+    _score_dtype,
+    _stack_bd,
+)
 from .vil_kernel import _attend_row
 
 INTERPRET = False
@@ -201,8 +207,8 @@ def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
             q_in, g_in = q_g, g_g
         scores = jax.lax.dot_general(
             q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (my, G·W², 2W²+Nglo)
+            preferred_element_type=_score_dtype(q_g.dtype),
+        )  # (my, G·W², 2W²+Nglo) — bf16 under BF16_SCORES
         if comb_row is not None:
             combp_ref, combs_ref, rc = comb_row
             if G == 2:
@@ -583,9 +589,12 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
         from .vil_backward import pair_comb_tables
         from .vil_kernel import build_comb
 
-        comb_tables = pair_comb_tables(
-            build_comb(mask_tail, bias_tail, w2), groups, num_heads
-        )
+        comb_tables = [
+            t.astype(_score_dtype(q.dtype))
+            for t in pair_comb_tables(
+                build_comb(mask_tail, bias_tail, w2), groups, num_heads
+            )
+        ]
     elif class_of is not None:
         # row-grid fallback indexes mask blocks by the traced grid row —
         # reconstruct the full (mx, my, W², cols) table from the classes
@@ -622,8 +631,8 @@ def mode_forward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
         operands.extend(comb_tables)
     else:
         if has_bias:
-            operands.append(bias_tail)
-        operands.append(mask_tail)
+            operands.append(bias_tail.astype(_score_dtype(q.dtype)))
+        operands.append(mask_tail.astype(_score_dtype(q.dtype)))
 
     kernel = (
         functools.partial(
@@ -692,9 +701,12 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
         from .vil_backward import pair_comb_tables
         from .vil_kernel import build_comb
 
-        comb_tables = pair_comb_tables(
-            build_comb(mask_tail, bias_tail, w2), groups, H
-        )
+        comb_tables = [
+            t.astype(_score_dtype(q.dtype))
+            for t in pair_comb_tables(
+                build_comb(mask_tail, bias_tail, w2), groups, H
+            )
+        ]
     elif class_of is not None:
         mask_tail = jnp.broadcast_to(
             mask_tail[np.asarray(class_of)], (mx, my, w2, cols)
@@ -721,8 +733,8 @@ def mode_backward(q, ks, knb, vs, vnb, k_glo, v_glo, bias_tail, mask_tail,
         operands.extend(comb_tables)
     else:
         if has_bias:
-            operands.append(bias_tail)
-        operands.append(mask_tail)
+            operands.append(bias_tail.astype(_score_dtype(q.dtype)))
+        operands.append(mask_tail.astype(_score_dtype(q.dtype)))
     operands.append(g)
     if lse is not None:
         in_specs.append(
