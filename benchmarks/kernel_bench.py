@@ -23,6 +23,9 @@ _enable_cache()
 STAGES_224 = {
     "1": ("stage1 56x56 C96 H3", 8, 8, 7, 96, 3, 1),
     "2": ("stage2 28x28 C192 H3", 4, 4, 7, 192, 3, 1),
+    # anatomy variant: stage 1 WITHOUT the global-token tail (isolates the
+    # Nglo concat/columns cost; pair with VIL_TPU_ABLATE for phase timing)
+    "1g0": ("stage1 56x56 C96 H3 nglo0", 8, 8, 7, 96, 3, 0),
 }
 # ViL-Small/Medium @384: stage1 96x96 grid → 14 chunks w/ pad
 STAGES_384 = {

@@ -78,8 +78,10 @@ def _kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
         q_h = q[:, hs : hs + M]
         scores = jax.lax.dot_general(
             q_h, k[:, hs : hs + M], (((1,), (1,)), ((), ())),
-            preferred_element_type=_score_dtype(q_h.dtype),
-        )  # (N, N) — bf16 under BF16_SCORES (bias arrives pre-cast)
+            preferred_element_type=jnp.float32,
+        ).astype(_score_dtype(q_h.dtype))
+        # (N, N) — bf16 under BF16_SCORES via an epilogue cast (Mosaic
+        # requires a 32-bit matmul acc); bias arrives pre-cast
         if bias is not None:
             scores = scores + bias[h]
         m = jnp.max(scores, axis=-1, keepdims=True)
@@ -191,8 +193,10 @@ def _bwd_kernel(num_heads: int, has_bias: bool, *refs):
         k_h = k[:, sl]
         scores = jax.lax.dot_general(
             q_h, k_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=_score_dtype(q_h.dtype),
-        )  # (N, N) — bf16 under BF16_SCORES, matching the forward rounding
+            preferred_element_type=jnp.float32,
+        ).astype(_score_dtype(q_h.dtype))
+        # (N, N) — bf16 under BF16_SCORES (epilogue cast, 32-bit MXU acc),
+        # matching the forward rounding
         if bias is not None:
             scores = scores + bias[h]
         # normalized probs in ONE exp pass from the forward-stashed LSE,

@@ -328,9 +328,11 @@ def _bwd_kernel_img(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                 q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=_score_dtype(q_g.dtype),
-            )  # (my, G·W², cols) — bf16 under BF16_SCORES, matching the
-            # forward's rounding so the recomputed probs stay consistent
+                preferred_element_type=jnp.float32,
+            ).astype(_score_dtype(q_g.dtype))
+            # (my, G·W², cols) — bf16 under BF16_SCORES via an epilogue cast
+            # (Mosaic requires a 32-bit matmul acc), matching the forward's
+            # rounding so the recomputed probs stay consistent
             if use_comb:
                 # combined bias+mask class table: one add (vil_kernel
                 # build_comb); rc is static via the unrolled row loop, or a
@@ -960,8 +962,8 @@ def _bwd_kernel_img_loop(nglo, w2, mx, my, H, groups, has_bias, with_lse,
                 q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=_score_dtype(q_g.dtype),
-            )
+                preferred_element_type=jnp.float32,
+            ).astype(_score_dtype(q_g.dtype))
             if G == 2:
                 scores = scores + combp_ref[
                     gidx if combp_ref.shape[0] > 1 else 0, rc
@@ -1297,8 +1299,8 @@ def _bwd_kernel_tiled(nglo, w2, T, my, H, groups, has_bias, with_lse, *refs):
                 q_in, g_in = q_g, g_g
             scores = jax.lax.dot_general(
                 q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=_score_dtype(q_g.dtype),
-            )  # (my, G·W², cols)
+                preferred_element_type=jnp.float32,
+            ).astype(_score_dtype(q_g.dtype))  # (my, G·W², cols)
             if has_bias:
                 scores = scores + bias_grp[gidx][None]
             scores = scores + (mask2 if G == 2 else mask)

@@ -89,6 +89,17 @@ def score_dtype(dtype) -> jnp.dtype:
     return jnp.float32
 
 
+# TIMING-ONLY ablation knob (VIL_TPU_ABLATE=nocomb|nomax|nosm): structurally
+# removes one phase of the fused forward to attribute kernel time (the repo's
+# substitute for an in-kernel profiler, which Mosaic does not expose —
+# docs/ROADMAP.md). WRONG NUMERICS when set; never enable outside
+# kernel-anatomy benchmarks.
+#   nocomb — skip the combined bias+mask (or mask/bias) score add
+#   nomax  — skip the row-max subtraction (exp of raw scores)
+#   nosm   — skip softmax entirely (probs := scores, no exp/sum/divide)
+ABLATE = _os.environ.get("VIL_TPU_ABLATE", "")
+
+
 def hint_default_layout(*arrays):
     """with_layout_constraint(default row-major) on each non-None array."""
     if not LAYOUT_HINT:
@@ -201,10 +212,15 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
         q_in = _stack_bd(q_g, M) if G == 2 else q_g
         scores = jax.lax.dot_general(
             q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=score_dtype(q_g.dtype),
-        )  # (my, G·W2, 9W2+Nglo) — bf16 under BF16_SCORES (the MXU still
-        # accumulates f32 internally; comb/mask tables arrive pre-cast)
-        if comb_row is not None:
+            preferred_element_type=jnp.float32,
+        ).astype(score_dtype(q_g.dtype))
+        # (my, G·W2, 9W2+Nglo) — bf16 under BF16_SCORES: the MXU accumulator
+        # must stay 32-bit (Mosaic rejects bf16 matmul acc), so the rounding
+        # is an epilogue cast; the add/max/exp passes then run packed-bf16
+        # with half the VMEM traffic (comb/mask tables arrive pre-cast)
+        if ABLATE == "nocomb":
+            pass  # timing-only: skip the score add
+        elif comb_row is not None:
             # combined bias+mask class table: ONE VPU add per group
             # (build_comb / pair_comb_tables); rc is a static int when rows
             # are unrolled, or a traced SMEM read under halo sharding
@@ -221,16 +237,24 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
             if bias_grp is not None:
                 scores = scores + bias_grp[gidx][None]
             scores = scores + (mask2 if G == 2 else mask)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        # unnormalized probs, cast in the same pass as the exp (the f32
-        # probability tensor never hits VMEM); denominator accumulates in
-        # f32 FROM the rounded probs — consistent with what the PV matmul
-        # actually consumes
-        if BF16_EXP and q_g.dtype == jnp.bfloat16:
-            probs = jnp.exp((scores - m).astype(jnp.bfloat16))
+        if ABLATE == "nosm":
+            probs = scores.astype(q_g.dtype)
+            m = jnp.zeros(scores.shape[:-1] + (1,), jnp.float32)
+            denom = jnp.ones(scores.shape[:-1] + (1,), jnp.float32)
         else:
-            probs = jnp.exp(scores - m).astype(q_g.dtype)
-        denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+            if ABLATE == "nomax":
+                m = jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)
+            else:
+                m = jnp.max(scores, axis=-1, keepdims=True)
+            # unnormalized probs, cast in the same pass as the exp (the f32
+            # probability tensor never hits VMEM); denominator accumulates
+            # in f32 FROM the rounded probs — consistent with what the PV
+            # matmul actually consumes
+            if BF16_EXP and q_g.dtype == jnp.bfloat16:
+                probs = jnp.exp((scores - m).astype(jnp.bfloat16))
+            else:
+                probs = jnp.exp(scores - m).astype(q_g.dtype)
+            denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
         if lse_out is not None:
             # stash the log-sum-exp L = m + log(Σe) so the backward can
             # recompute normalized probs in a SINGLE exp pass; the log runs

@@ -207,8 +207,10 @@ def _bwd_row(nglo, w2, H, groups, has_bias, q_row, ks, knb, vs, vnb, kg_row,
             q_in, g_in = q_g, g_g
         scores = jax.lax.dot_general(
             q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=_score_dtype(q_g.dtype),
-        )  # (my, G·W², 2W²+Nglo) — bf16 under BF16_SCORES
+            preferred_element_type=jnp.float32,
+        ).astype(_score_dtype(q_g.dtype))
+        # (my, G·W², 2W²+Nglo) — bf16 under BF16_SCORES via epilogue cast
+        # (Mosaic requires a 32-bit matmul accumulator)
         if comb_row is not None:
             combp_ref, combs_ref, rc = comb_row
             if G == 2:
