@@ -123,7 +123,14 @@ def measure(batch: int, repeats: int = 3) -> float:
 
 
 def main():
+    import os
     import sys
+
+    if os.environ.get("VIL_TPU_ABLATE"):
+        raise SystemExit(
+            "VIL_TPU_ABLATE is set — the fused kernels compute wrong numerics "
+            "under this timing-only knob; refusing to produce a headline number."
+        )
 
     if "--sweep" in sys.argv:
         for batch in (64, 128, 256):

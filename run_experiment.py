@@ -33,6 +33,13 @@ def parse_args():
 
 
 def main():
+    import os
+
+    if os.environ.get("VIL_TPU_ABLATE"):
+        raise SystemExit(
+            "VIL_TPU_ABLATE is set — the fused kernels compute wrong numerics "
+            "under this timing-only knob; refusing to train/evaluate with it."
+        )
     args = parse_args()
     logging.basicConfig(
         level=logging.INFO,

@@ -329,7 +329,13 @@ def supported_bwd(B: int, N: int, C: int, num_heads: int,
     """True when the fused backward kernel fits the VMEM budget (per-head:
     S f32, P bf16, dP f32, dS f32+bf16 ≈ 16 bytes/score element, unrolled
     ×num_heads; with bias both the bias and the resident dbias accumulator
-    are full (H, N, N) f32 tensors)."""
+    are full (H, N, N) f32 tensors).
+
+    Known limit: at the 384² stage-3 shape (N=577, H=8) the BIASED estimate
+    is ~67 MB > the 56 MB budget, so RPE models at that size fall back to
+    XLA recompute and only bias-free (APE) shapes get the fused backward.
+    Tightening the 16 B/elt per-head term (bf16 dS) is an open measured-A/B
+    item — see docs/ROADMAP.md."""
     itemsize = 2
     est = (
         7 * 2 * N * C * itemsize  # q, k, v, g, dq, dk, dv ×2 buffers

@@ -550,16 +550,21 @@ def _pass1_kernel(nglo, w2, my, H, has_bias, *refs):
         k_h = k_nbh[..., hs : hs + M]
         v_h = v_nbh[..., hs : hs + M]
         g_h = g_row[..., hs : hs + M]
+        # score_dtype epilogue cast: keeps the recomputed scores rounded
+        # identically to the forward's under VIL_TPU_BF16_SCORES (the
+        # fwd/bwd-round-the-same invariant every other kernel observes)
         scores = jax.lax.dot_general(
             q_h, k_h.astype(q_h.dtype), (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(_score_dtype(q_h.dtype))
         if has_bias:
-            scores = scores + bias_loc_ref[h][None]
-        scores = scores + mask
+            scores = scores + bias_loc_ref[h][None].astype(scores.dtype)
+        scores = scores + mask.astype(scores.dtype)
         if nglo > 0:
             sg = sg_ref[0, 0][..., h * nglo : (h + 1) * nglo]
-            scores = jnp.concatenate([scores, sg], axis=-1)  # tail append
+            scores = jnp.concatenate(
+                [scores, sg.astype(scores.dtype)], axis=-1
+            )  # tail append
         p = _probs_softmax(scores, q_h.dtype)  # (my, W2, 9W2+Nglo) normalized
 
         # dP = g · V^T (local) ‖ precomputed global columns

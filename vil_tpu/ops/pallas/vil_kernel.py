@@ -98,6 +98,16 @@ def score_dtype(dtype) -> jnp.dtype:
 #   nomax  — skip the row-max subtraction (exp of raw scores)
 #   nosm   — skip softmax entirely (probs := scores, no exp/sum/divide)
 ABLATE = _os.environ.get("VIL_TPU_ABLATE", "")
+if ABLATE:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"VIL_TPU_ABLATE={ABLATE!r} is set: the fused forward kernels now "
+        "compute STRUCTURALLY WRONG numerics (timing-only phase ablation). "
+        "Every model forward/training result in this process is invalid — "
+        "unset it unless running benchmarks/kernel_bench.py anatomy timings.",
+        stacklevel=2,
+    )
 
 
 def hint_default_layout(*arrays):
