@@ -271,6 +271,57 @@ def test_grain_loader_matches_thread_loader():
     assert len(g2) == 2 and len(GrainDataLoader(ds, sampler, 4)) == 2
 
 
+def test_grain_worker_processes_pickle_real_datasets(tmp_path):
+    """Grain worker PROCESSES pickle the data source: ZipData (open ZipFile
+    handles) and TSVDataset (ctypes native reader + file handle) must ship
+    across and lazily reopen in the worker — this exact combination was
+    broken until data_bench.py exercised it (round 4)."""
+    import io
+    import pickle
+
+    from vil_tpu.data.datasets import ZipData
+    from vil_tpu.data.grain_loader import GrainDataLoader
+    from vil_tpu.data.samplers import SequentialSampler
+    from vil_tpu.data.tsv import ClsTsvDataset
+
+    # tiny zip dataset
+    zpath = str(tmp_path / "t.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for i in range(6):
+            img = Image.fromarray(np.full((8, 8, 3), i * 7, dtype=np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, "JPEG")
+            z.writestr(f"img{i}.jpeg", buf.getvalue())
+    map_file = str(tmp_path / "t_map.txt")
+    with open(map_file, "w") as f:
+        for i in range(6):
+            f.write(f"x@img{i}.jpeg\t{i}\n")
+    zds = ZipData(zpath, map_file)
+
+    # tiny cls TSV dataset (base64 jpegs)
+    import base64
+
+    tpath = str(tmp_path / "t.tsv")
+    with open(tpath, "w") as f:
+        for i in range(6):
+            img = Image.fromarray(np.full((8, 8, 3), i * 9, dtype=np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, "JPEG")
+            f.write(f"k{i}\t{i}\t{base64.b64encode(buf.getvalue()).decode()}\n")
+    tds = ClsTsvDataset(tpath)
+    tds[0]  # force the native reader + file handle open BEFORE pickling
+
+    for ds in (zds, tds):
+        pickle.dumps(ds)  # must not raise
+        batches = list(
+            GrainDataLoader(ds, SequentialSampler(len(ds)), 3,
+                            drop_last=True, num_workers=2)
+        )
+        assert len(batches) == 2
+        targets = np.concatenate([t for _, t in batches])
+        np.testing.assert_array_equal(targets, np.arange(6, dtype=np.int32))
+
+
 def test_device_normalize_matches_host_normalize():
     """INPUT.DEVICE_NORMALIZE: uint8 input + on-device (x/255-mean)/std in
     PatchEmbed must match the host-normalized float path."""

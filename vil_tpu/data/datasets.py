@@ -95,6 +95,14 @@ class ZipData:
     def __len__(self):
         return len(self.samples)
 
+    def __getstate__(self):
+        # picklable for process-based loaders (Grain workers): drop the
+        # open ZipFile handles; workers reopen per-pid via _zip_for_pid
+        state = self.__dict__.copy()
+        state["_zip_file"] = None
+        state["zip_dict"] = {}
+        return state
+
     def _zip_for_pid(self):
         pid = os.getpid()
         if pid not in self.zip_dict:

@@ -23,22 +23,38 @@ from typing import Iterator
 import numpy as np
 
 
-class _PermutedSource:
-    """grain RandomAccessDataSource view: position → dataset[order[pos]]."""
+class _BatchSource:
+    """grain RandomAccessDataSource where each RECORD is a whole collated
+    batch (position j → stacked batch j of the pre-permuted order).
 
-    def __init__(self, dataset, order):
+    Batching inside the source — rather than a gp.Batch operation — is
+    load-bearing: grain splits records round-robin across worker processes
+    and applies operations PER WORKER, so record-level batching with
+    worker_count > 1 would compose batches from every worker-th sample
+    (seen: [0,2,4] / [1,3,5] instead of [0,1,2] / [3,4,5]). With
+    batch-as-record each worker assembles exact batches and grain's
+    deterministic output order preserves the sampler's batch order. It also
+    amortizes the worker→main IPC to one handoff per batch."""
+
+    def __init__(self, dataset, order, batch_size: int):
         self._dataset = dataset
         self._order = order
+        self._bs = batch_size
 
     def __len__(self) -> int:
-        return len(self._order)
+        return len(self._order) // self._bs
 
-    def __getitem__(self, i):
-        img, target = self._dataset[int(self._order[i])]
-        img = np.asarray(img, dtype=np.float32)
-        if img.ndim == 2:  # grayscale H,W → H,W,1
-            img = img[..., None]
-        return img, np.int32(target)
+    def __getitem__(self, j):
+        idxs = self._order[j * self._bs : (j + 1) * self._bs]
+        imgs, targets = [], []
+        for i in idxs:
+            img, target = self._dataset[int(i)]
+            img = np.asarray(img, dtype=np.float32)
+            if img.ndim == 2:  # grayscale H,W → H,W,1
+                img = img[..., None]
+            imgs.append(img)
+            targets.append(np.int32(target))
+        return np.stack(imgs), np.asarray(targets, dtype=np.int32)
 
 
 class GrainDataLoader:
@@ -62,11 +78,8 @@ class GrainDataLoader:
         import grain.python as gp
 
         order = np.fromiter(iter(self.sampler), dtype=np.int64)
-        n = len(order)
-        if self.drop_last:
-            n = (n // self.batch_size) * self.batch_size
-            order = order[:n]
-        source = _PermutedSource(self.dataset, order)
+        n_full = (len(order) // self.batch_size) * self.batch_size
+        source = _BatchSource(self.dataset, order[:n_full], self.batch_size)
         index_sampler = gp.IndexSampler(
             num_records=len(source),
             shard_options=gp.NoSharding(),  # host sharding handled upstream
@@ -76,10 +89,15 @@ class GrainDataLoader:
         loader = gp.DataLoader(
             data_source=source,
             sampler=index_sampler,
-            operations=[gp.Batch(self.batch_size,
-                                 drop_remainder=self.drop_last)],
+            operations=[],  # batches assembled in the source (see above)
             worker_count=self.num_workers,
             worker_buffer_size=max(1, self.prefetch),
         )
         for images, targets in loader:
             yield np.asarray(images), np.asarray(targets, dtype=np.int32)
+        if not self.drop_last and n_full < len(order):
+            # ragged tail batch, assembled in-process
+            tail = _BatchSource(
+                self.dataset, order[n_full:], len(order) - n_full
+            )
+            yield tail[0]

@@ -59,6 +59,17 @@ class TSVFile:
         if self._fp:
             self._fp.close()
 
+    def __getstate__(self):
+        # picklable for process-based loaders (Grain workers): drop the open
+        # file handle and the ctypes-backed native reader; both lazily
+        # reopen in the worker (seek/_ensure_open are pid-aware)
+        state = self.__dict__.copy()
+        state["_fp"] = None
+        state["pid"] = None
+        if state["_native"] is not False:
+            state["_native"] = None
+        return state
+
     def num_rows(self) -> int:
         self._ensure_lineidx()
         return len(self._lineidx)
