@@ -411,6 +411,25 @@ def test_logits_match_reference_flagship_vil_small_rpe_224():
 
 
 @pytest.mark.slow
+def test_logits_match_reference_flagship_vil_base_deep_rpe_384():
+    """Golden parity at the reference's best published model: ViL-Base-Deep
+    RPE @ 384² (86.11 top-1, /root/reference/README.md:95, the
+    IN-22K→1K 384 finetune) — the 384-finetune arch (vil_base_deep_384,
+    windows f6/f8/f7/f7) with a0 in every stage (APE off → RPE on,
+    msvit.py:470), completing the flagship matrix: Small APE/RPE @224,
+    Medium-Deep 224→384 import, Base-Deep RPE @384."""
+    from vil_tpu.models import ARCH_ZOO
+
+    arch = "_".join(
+        s + ",a0" for s in ARCH_ZOO["vil_base_deep_384"].split("_")
+    )
+    ref_out, ours = _run_pair(
+        "longformerhand", arch=arch, img=384, batch=1, num_classes=1000,
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
 def test_import_224_to_384_medium_deep_resize_parity():
     """224→384 checkpoint-import round-trip at the REAL ViL-Medium-Deep
     arch (the reference's published finetune workflow, README.md:81-84):
