@@ -122,6 +122,62 @@ def measure(batch: int, repeats: int = 3) -> float:
     return batch / best
 
 
+def measure_train(batch: int, repeats: int = 3) -> float:
+    """Chained train-step throughput (fwd + bwd + adamw + mixup), the
+    reference's primary workload (engine.py:60-195) — same harness as
+    benchmarks/train_bench.py, same two-point timing as measure()."""
+    import optax
+
+    from vil_tpu.data.mixup import make_mixup_fn
+    from vil_tpu.models import ARCH_ZOO, MsViT
+    from vil_tpu.train.engine import create_train_state, make_train_step
+    from vil_tpu.train.loss import soft_target_cross_entropy
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = MsViT(
+        arch=ARCH_ZOO["vil_small"], img_size=224, num_classes=1000,
+        attn_type="longformerhand", sharew=True, norm_embed=True,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32, use_pallas=on_tpu,
+    )
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.float32
+    )
+    targets = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 1000)
+    state = jax.jit(lambda: create_train_state(
+        model, tx, jax.random.PRNGKey(0), x))()
+    train_step = make_train_step(
+        model, soft_target_cross_entropy, tx,
+        mixup_fn=make_mixup_fn(num_classes=1000),
+    )
+    rng = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def run(state, iters):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = train_step(st, x, targets, rng)
+            return st, metrics["loss"].astype(jnp.float32)
+
+        _, loss = jax.lax.fori_loop(0, iters, body, (state, jnp.float32(0.0)))
+        return loss
+
+    def timed(iters) -> float:
+        t0 = time.time()
+        float(run(state, jnp.int32(iters)))
+        return time.time() - t0
+
+    iters_a, iters_b = 3, 12
+    timed(iters_a)  # compile + warmup
+    best = float("inf")
+    for _ in range(repeats):
+        ta, tb = timed(iters_a), timed(iters_b)
+        per = (tb - ta) / (iters_b - iters_a)
+        if 0 < per < best:
+            best = per
+    return batch / best
+
+
 def main():
     import os
     import sys
@@ -162,6 +218,15 @@ def main():
     tf_img = analytic_tflops_per_image()
     tflops = images_per_sec * tf_img
     peak = peak_tflops()
+
+    # training throughput in the same artifact (fwd+bwd+adamw+mixup): train
+    # FLOPs ≈ 3× inference (backward ≈ 2× forward), so train MFU uses 3·tf_img
+    try:
+        train_img_s = measure_train(batch)
+        train_tflops = train_img_s * 3.0 * tf_img
+    except Exception as e:  # never block the inference line
+        print(f"train bench failed to run: {e!r}", file=__import__("sys").stderr)
+        train_img_s = train_tflops = None
     print(
         json.dumps(
             {
@@ -179,6 +244,12 @@ def main():
                 "batch": batch,
                 "tflops": round(tflops, 2),
                 "mfu": round(tflops / peak, 4),
+                "train_img_s": (
+                    round(train_img_s, 2) if train_img_s else None
+                ),
+                "train_mfu": (
+                    round(train_tflops / peak, 4) if train_tflops else None
+                ),
                 "peak_tflops": peak,
                 "kernels_ok": kernels_ok,
             }

@@ -97,6 +97,26 @@ def score_dtype(dtype) -> jnp.dtype:
 #   nocomb — skip the combined bias+mask (or mask/bias) score add
 #   nomax  — skip the row-max subtraction (exp of raw scores)
 #   nosm   — skip softmax entirely (probs := scores, no exp/sum/divide)
+# In-kernel phase tracing (VIL_TPU_KERNEL_TRACE=1): jax.named_scope inside a
+# Mosaic kernel lowers to tpu.trace_start/trace_stop on the scope boundaries
+# (jax/_src/pallas/mosaic/lowering.py "Insert trace_start and trace_stop ops
+# on named_scope boundaries"), so each annotated phase appears as a device
+# trace event in a jax.profiler capture — the per-phase kernel anatomy the
+# ABLATE knob only approximated. Default OFF: the trace ops execute at
+# runtime whether or not a profiler is attached. Consume with
+# tools/kernel_trace.py.
+KERNEL_TRACE = _os.environ.get("VIL_TPU_KERNEL_TRACE", "0") == "1"
+
+
+def _scope(name: str):
+    """jax.named_scope(name) under VIL_TPU_KERNEL_TRACE, else a no-op."""
+    if KERNEL_TRACE:
+        return jax.named_scope(name)
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 ABLATE = _os.environ.get("VIL_TPU_ABLATE", "")
 if ABLATE:
     import warnings as _warnings
@@ -155,16 +175,17 @@ def _nbh_rows(rows, my: int, extra=None):
     note an in-kernel jnp.broadcast_to of (1, Nglo, M) → (my, Nglo, M) is
     NOT an option (Mosaic lowers it as an unsupported gather); the broadcast
     happens XLA-side on the tiny (B, Nglo, C) tensor."""
-    parts = []
-    for dx, dy in NEIGHBOR_OFFSETS:
-        r = rows[dx + 1]
-        if dy != 0 and my > 1:
-            s = dy % my
-            r = jnp.concatenate([r[s:], r[:s]], axis=0)
-        parts.append(r)
-    if extra is not None:
-        parts.append(extra.astype(parts[0].dtype))
-    return jnp.concatenate(parts, axis=1)
+    with _scope("nbh_concat"):
+        parts = []
+        for dx, dy in NEIGHBOR_OFFSETS:
+            r = rows[dx + 1]
+            if dy != 0 and my > 1:
+                s = dy % my
+                r = jnp.concatenate([r[s:], r[:s]], axis=0)
+            parts.append(r)
+        if extra is not None:
+            parts.append(extra.astype(parts[0].dtype))
+        return jnp.concatenate(parts, axis=1)
 
 
 def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
@@ -220,10 +241,11 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
         q_g = q_row[..., hs : hs + gm]
         k_g = k_cat[..., hs : hs + gm].astype(q_g.dtype)
         q_in = _stack_bd(q_g, M) if G == 2 else q_g
-        scores = jax.lax.dot_general(
-            q_in, k_g, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(score_dtype(q_g.dtype))
+        with _scope("score_gemm"):
+            scores = jax.lax.dot_general(
+                q_in, k_g, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(score_dtype(q_g.dtype))
         # (my, G·W2, 9W2+Nglo) — bf16 under BF16_SCORES: the MXU accumulator
         # must stay 32-bit (Mosaic rejects bf16 matmul acc), so the rounding
         # is an epilogue cast; the add/max/exp passes then run packed-bf16
@@ -235,18 +257,20 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
             # (build_comb / pair_comb_tables); rc is a static int when rows
             # are unrolled, or a traced SMEM read under halo sharding
             (combp_ref, combs_ref), rc = comb_row
-            if G == 2:
-                scores = scores + combp_ref[
-                    gidx if combp_ref.shape[0] > 1 else 0, rc
-                ]
-            else:
-                scores = scores + combs_ref[
-                    grp[0] if combs_ref.shape[0] > 1 else 0, rc
-                ]
+            with _scope("score_add"):
+                if G == 2:
+                    scores = scores + combp_ref[
+                        gidx if combp_ref.shape[0] > 1 else 0, rc
+                    ]
+                else:
+                    scores = scores + combs_ref[
+                        grp[0] if combs_ref.shape[0] > 1 else 0, rc
+                    ]
         else:
-            if bias_grp is not None:
-                scores = scores + bias_grp[gidx][None]
-            scores = scores + (mask2 if G == 2 else mask)
+            with _scope("score_add"):
+                if bias_grp is not None:
+                    scores = scores + bias_grp[gidx][None]
+                scores = scores + (mask2 if G == 2 else mask)
         if ABLATE == "nosm":
             probs = scores.astype(q_g.dtype)
             m = jnp.zeros(scores.shape[:-1] + (1,), jnp.float32)
@@ -255,39 +279,46 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
             if ABLATE == "nomax":
                 m = jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)
             else:
-                m = jnp.max(scores, axis=-1, keepdims=True)
+                with _scope("softmax_max"):
+                    m = jnp.max(scores, axis=-1, keepdims=True)
             # unnormalized probs, cast in the same pass as the exp (the f32
             # probability tensor never hits VMEM); denominator accumulates
             # in f32 FROM the rounded probs — consistent with what the PV
             # matmul actually consumes
-            if BF16_EXP and q_g.dtype == jnp.bfloat16:
-                probs = jnp.exp((scores - m).astype(jnp.bfloat16))
-            else:
-                probs = jnp.exp(scores - m).astype(q_g.dtype)
-            denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+            with _scope("softmax_exp"):
+                if BF16_EXP and q_g.dtype == jnp.bfloat16:
+                    probs = jnp.exp((scores - m).astype(jnp.bfloat16))
+                else:
+                    probs = jnp.exp(scores - m).astype(q_g.dtype)
+                denom = jnp.sum(
+                    probs, axis=-1, keepdims=True, dtype=jnp.float32
+                )
         if lse_out is not None:
             # stash the log-sum-exp L = m + log(Σe) so the backward can
             # recompute normalized probs in a SINGLE exp pass; the log runs
             # on the tiny (my, G·W², 1) denominator
-            lse_full = (m + jnp.log(denom))[..., 0]  # (my, G·W²) f32
-            for j, h in enumerate(grp):
-                lse_out[h] = lse_full[:, j * w2 : (j + 1) * w2]
+            with _scope("lse_stash"):
+                lse_full = (m + jnp.log(denom))[..., 0]  # (my, G·W²) f32
+                for j, h in enumerate(grp):
+                    lse_out[h] = lse_full[:, j * w2 : (j + 1) * w2]
         v_g = v_cat[..., hs : hs + gm].astype(probs.dtype)
-        acc = jax.lax.dot_general(
-            probs, v_g, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (my, G·W2, G·M) — for a pair only the diagonal (row block j,
-        # lane block j) carries head j's output; the off-diagonal garbage
-        # lanes ride the same MXU pass for free
-        inv = 1.0 / denom
-        for j, h in enumerate(grp):
-            out_ref[
-                (*out_idx, slice(None), slice(None),
-                 slice(h * M, (h + 1) * M))
-            ] = (
-                acc[:, j * w2 : (j + 1) * w2, j * M : (j + 1) * M]
-                * inv[:, j * w2 : (j + 1) * w2]
-            ).astype(out_ref.dtype)
+        with _scope("pv_gemm"):
+            acc = jax.lax.dot_general(
+                probs, v_g, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (my, G·W2, G·M) — for a pair only the diagonal (row block j,
+            # lane block j) carries head j's output; the off-diagonal garbage
+            # lanes ride the same MXU pass for free
+        with _scope("out_store"):
+            inv = 1.0 / denom
+            for j, h in enumerate(grp):
+                out_ref[
+                    (*out_idx, slice(None), slice(None),
+                     slice(h * M, (h + 1) * M))
+                ] = (
+                    acc[:, j * w2 : (j + 1) * w2, j * M : (j + 1) * M]
+                    * inv[:, j * w2 : (j + 1) * w2]
+                ).astype(out_ref.dtype)
 
 
 def _fwd_groups(num_heads: int, M: int):
@@ -387,8 +418,9 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     bias_grp = _pair_bias_rows(bias_tail, groups)
 
     for i_row in range(mx):
-        k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
-        v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+        with _scope("kv_row_load"):
+            k_rows = [k_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
+            v_rows = [v_ref[0, (i_row + dx) % mx] for dx in (-1, 0, 1)]
         lse_out = [] if with_lse else None
         mask = mask2 = None
         if mask_ref is not None:
