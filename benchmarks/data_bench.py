@@ -96,15 +96,23 @@ def build_train_transforms(img_size: int, timm: bool):
 
 
 def run_loader(loader, max_batches: int | None = None):
-    """One pass; returns (images, seconds). Touches each batch so lazy
-    backends can't defer work past the timer."""
-    n, t0 = 0, time.time()
+    """One pass; returns (steady-state images, seconds, startup seconds).
+    The timed window opens at the FIRST batch: pipeline startup (grain
+    worker-process spawn ≈ seconds of interpreter+imports per worker; thread
+    pool spin-up) is reported separately — it amortizes over a real epoch
+    (1.28M images) but would dominate a small synthetic pass. Touches each
+    batch so lazy backends can't defer work past the timer."""
+    n, t_start = 0, time.time()
+    t0 = None
     for i, (imgs, targets) in enumerate(loader):
-        n += imgs.shape[0]
+        if t0 is None:
+            t0 = time.time()  # first batch delivered: steady state begins
+        else:
+            n += imgs.shape[0]
         _ = imgs.dtype  # materialized by np.stack/np.asarray already
         if max_batches is not None and i + 1 >= max_batches:
             break
-    return n, time.time() - t0
+    return n, time.time() - t0, t0 - t_start
 
 
 def measure(dataset, batch: int, workers: int, backend: str) -> float:
@@ -125,8 +133,8 @@ def measure(dataset, batch: int, workers: int, backend: str) -> float:
                             num_workers=workers)
     # warm one pass (page cache, worker spin-up), measure the second
     run_loader(loader)
-    n, dt = run_loader(loader)
-    return n / dt
+    n, dt, startup = run_loader(loader)
+    return n / dt, startup
 
 
 def main():
@@ -173,7 +181,7 @@ def main():
                     if backend == "grain" and w == 0:
                         continue  # grain w=0 == in-process, same as threads w=0
                     try:
-                        rate = measure(ds, args.batch, w, backend)
+                        rate, startup = measure(ds, args.batch, w, backend)
                     except Exception as e:
                         print(f"{aug_name:13s} {ds_name} {backend:8s} "
                               f"w={w:2d}: FAILED {e!r}")
@@ -181,7 +189,8 @@ def main():
                     key = (aug_name, backend)
                     best[key] = max(best.get(key, 0.0), rate)
                     print(f"{aug_name:13s} {ds_name} {backend:8s} w={w:2d}: "
-                          f"{rate:8.1f} img/s", flush=True)
+                          f"{rate:8.1f} img/s steady "
+                          f"(+{startup:.1f}s startup)", flush=True)
 
     cores = len(os.sched_getaffinity(0))
     print("\n-- summary (best over datasets/workers) --")
