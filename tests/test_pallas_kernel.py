@@ -245,6 +245,14 @@ def test_row_grid_variant_matches_whole_image(monkeypatch, nglo, with_bias):
         q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
     )
     monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", 0)
+    # K/V alone still fit → the K/V-resident row-streamed tier engages
+    out_kvres = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_img), np.asarray(out_kvres), atol=1e-6, rtol=1e-6
+    )
+    monkeypatch.setattr(vil_kernel, "KV_RES_VMEM_BYTES", 0)
     out_row = vil_kernel._pallas_forward_mh(
         q, k, v, k_glo, v_glo, bias, mask_add, 1, interpret=True
     )
@@ -298,6 +306,50 @@ def test_loop_rolled_whole_image_matches_unrolled(
     )
     np.testing.assert_allclose(
         np.asarray(out_loop), np.asarray(out_xla), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "nglo,with_bias,H,with_lse",
+    [(1, True, 2, False), (0, False, 3, True), (2, True, 3, True)],
+)
+def test_kv_resident_tier_matches_whole_image(
+    monkeypatch, nglo, with_bias, H, with_lse
+):
+    """The K/V-resident row-streamed tier (_mh_kernel_kv_res — whole K/V
+    resident with constant block index maps, Q/out/mask rows streamed over
+    grid (B, mx); selected for huge chunk grids like 1024² stage 1 where
+    q+k+v+out residency overflows but K/V alone fit) must match the
+    whole-image kernel and the XLA oracle, incl. the LSE stash."""
+    BH, mx, my, w, M = 2, 4, 3, 3, 8
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 2, 1, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(11), BH, mx, my, w, M * H, nglo, with_bias, H=H
+    )
+    out_img = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
+        with_lse=with_lse,
+    )
+    monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", 0)
+    out_kv = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
+        with_lse=with_lse,
+    )
+    if with_lse:
+        (out_img, lse_img), (out_kv, lse_kv) = out_img, out_kv
+        np.testing.assert_allclose(
+            np.asarray(lse_kv), np.asarray(lse_img), atol=1e-5, rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_kv), np.asarray(out_img), atol=1e-6, rtol=1e-6
+    )
+    out_xla = vil_kernel._xla_reference_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_kv), np.asarray(out_xla), atol=1e-5, rtol=1e-5
     )
 
 
@@ -417,7 +469,9 @@ def test_bf16_scores_flag(monkeypatch, nglo, with_bias, H):
     )
     # row-grid variant with bf16 mask/bias tables
     budget = vil_kernel.WHOLE_IMAGE_VMEM_BYTES
+    kv_budget = vil_kernel.KV_RES_VMEM_BYTES
     monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", 0)
+    monkeypatch.setattr(vil_kernel, "KV_RES_VMEM_BYTES", 0)
     out_row = vil_kernel._pallas_forward_mh(
         *args_bf, bias, mask_add, H, interpret=True
     )
@@ -425,6 +479,7 @@ def test_bf16_scores_flag(monkeypatch, nglo, with_bias, H):
         np.asarray(out_row, np.float32), np.asarray(out_x), atol=5e-2
     )
     monkeypatch.setattr(vil_kernel, "WHOLE_IMAGE_VMEM_BYTES", budget)
+    monkeypatch.setattr(vil_kernel, "KV_RES_VMEM_BYTES", kv_budget)
     # custom-VJP grads: flag ON (bf16 scores + f32 LSE stash feeding the
     # f32-score backward) vs flag OFF (all-f32 scores) on the SAME bf16
     # inputs — the difference is one bf16 rounding of the forward scores

@@ -97,6 +97,7 @@ def score_dtype(dtype) -> jnp.dtype:
 #   nocomb — skip the combined bias+mask (or mask/bias) score add
 #   nomax  — skip the row-max subtraction (exp of raw scores)
 #   nosm   — skip softmax entirely (probs := scores, no exp/sum/divide)
+#   noroll — skip the ±1 column-roll slice+concat copies in _nbh_rows
 # In-kernel phase tracing (VIL_TPU_KERNEL_TRACE=1): jax.named_scope inside a
 # Mosaic kernel lowers to tpu.trace_start/trace_stop on the scope boundaries
 # (jax/_src/pallas/mosaic/lowering.py "Insert trace_start and trace_stop ops
@@ -163,6 +164,15 @@ WHOLE_IMAGE_VMEM_BYTES = 56 * 2**20
 # VMEM estimates above.
 FORCE_FWD_LOOP = None
 
+# K/V-RESIDENT row-streamed tier (_mh_kernel_kv_res): engaged when the full
+# whole-image residency (q+k+v+out) overflows WHOLE_IMAGE_VMEM_BYTES but K/V
+# alone (+ one row of temporaries) fit this budget — e.g. 1024² stage 1
+# (37×37 chunks, ~13 MB per tensor). Keeps the whole-image tier's 1× K/V HBM
+# reads instead of the row grid's 3×. The pallas_call raises the Mosaic
+# scope to 100 MB for this tier. Tests monkeypatch to 0 to force the row
+# grid.
+KV_RES_VMEM_BYTES = 88 * 2**20
+
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
 
@@ -179,7 +189,9 @@ def _nbh_rows(rows, my: int, extra=None):
         parts = []
         for dx, dy in NEIGHBOR_OFFSETS:
             r = rows[dx + 1]
-            if dy != 0 and my > 1:
+            # ABLATE == "noroll": skip the ±1 column-roll slice+concat copies
+            # (6 of 9 parts) — isolates the roll cost in the kernel anatomy
+            if dy != 0 and my > 1 and ABLATE != "noroll":
                 s = dy % my
                 r = jnp.concatenate([r[s:], r[:s]], axis=0)
             parts.append(r)
@@ -372,6 +384,59 @@ def _mh_kernel(nglo: int, w2: int, my: int, num_heads: int, groups,
     mask2 = jnp.concatenate([mask, mask], axis=1) if n_pair else None
     _attend_row(
         q_ref[0, 0], k_nbh, v_nbh, _pair_bias_rows(bias_tail, groups),
+        mask, mask2, groups, M, (out_ref, (0, 0)), lse_out,
+    )
+    if with_lse:
+        lse_ref = refs[i]
+        for h in range(num_heads):
+            lse_ref[0, h, 0] = lse_out[h]
+
+
+def _mh_kernel_kv_res(nglo: int, w2: int, mx: int, my: int, num_heads: int,
+                      groups, has_bias: bool, with_lse: bool, *refs):
+    """K/V-RESIDENT row-streamed kernel body (grid (B, mx)): the full
+    per-image K and V are VMEM-resident — their block index maps are
+    constant in the row coordinate, so Pallas fetches them from HBM once per
+    image and skips the copy on every subsequent row step — while Q/out/mask
+    rows stream like the row grid. This is the escape hatch for huge chunk
+    grids (1024² stage 1 = 37×37 chunks) where q+k+v+out whole-image
+    residency overflows the budget but K/V alone fit: it keeps the
+    whole-image tier's 1× K/V HBM reads instead of the row grid's 3×
+    (SURVEY §5.7 mech. 1; reference slidingchunk_2d.py:27-130 reads K/V
+    once because torch.roll is a view — this tier restores that property at
+    sizes the resident kernels can't hold). Rows are addressed dynamically
+    via the grid coordinate (cyclic wrap via lax.rem, as the loop-rolled
+    kernel does). refs: [q_row, k_img, v_img, (kg_row, vg_row)?,
+    (bias_tail)?, mask_row, out_row, (lse_row)?]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1  # (my, Nglo, C) pre-broadcast XLA-side
+        vg_row = refs[i][0]; i += 1
+    bias_tail = None
+    if has_bias:
+        bias_tail = refs[i]; i += 1
+    mask_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+    C = q_ref.shape[-1]
+    M = C // num_heads
+    n_pair = sum(1 for g in groups if len(g) == 2)
+
+    i_row = pl.program_id(1)
+    im1 = jax.lax.rem(i_row + mx - 1, mx)
+    ip1 = jax.lax.rem(i_row + 1, mx)
+    with _scope("kv_row_load"):
+        k_rows = [k_ref[0, im1], k_ref[0, i_row], k_ref[0, ip1]]
+        v_rows = [v_ref[0, im1], v_ref[0, i_row], v_ref[0, ip1]]
+    lse_out = [] if with_lse else None
+    mask = mask_ref[0]
+    mask2 = jnp.concatenate([mask, mask], axis=1) if n_pair else None
+    _attend_row(
+        q_ref[0, 0], _nbh_rows(k_rows, my, kg_row),
+        _nbh_rows(v_rows, my, vg_row), _pair_bias_rows(bias_tail, groups),
         mask, mask2, groups, M, (out_ref, (0, 0)), lse_out,
     )
     if with_lse:
@@ -893,7 +958,21 @@ def _pallas_forward_mh(
         class_of = None
         mask_tail = expand_tail_mask(mask_add, nglo, w2).astype(sd)
 
-    operands = [q, k, v] if whole_image else [q, k, k, k, v, v, v]
+    # K/V-resident tier estimate: k+v images (×2 pipeline buffers), q/out
+    # rows (×2), streamed mask rows (×2), one row's f32 score temporaries
+    # (+ the in-kernel pair mask2 concat, covered by row_f32's ×3 slack)
+    itemsize = q.dtype.itemsize
+    kv_res_bytes = (
+        2 * 2 * (k.size // B) * itemsize
+        + 4 * 2 * my * w2 * C * itemsize
+        + 2 * my * wq * cols * np.dtype(sd).itemsize
+        + row_f32
+    )
+    kv_res = not whole_image and kv_res_bytes <= KV_RES_VMEM_BYTES
+
+    operands = (
+        [q, k, v] if whole_image or kv_res else [q, k, k, k, v, v, v]
+    )
     if whole_image:
         img_block = (1, mx, my, w2, C)
         img_spec = pl.BlockSpec(
@@ -932,8 +1011,15 @@ def _pallas_forward_mh(
             )
 
         in_specs = [q_spec]
-        in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
-        in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+        if kv_res:
+            kv_img_spec = pl.BlockSpec(
+                (1, mx, my, w2, C), lambda b, i: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            in_specs += [kv_img_spec, kv_img_spec]
+        else:
+            in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
+            in_specs += [row_spec(dx) for dx in (-1, 0, 1)]
         grid = (B, mx)
         glo_idx = lambda b, i: (b, 0, 0)
         const_idx = lambda b, i: (0, 0, 0)
@@ -946,9 +1032,16 @@ def _pallas_forward_mh(
             (1, num_heads, 1, my, w2), lambda b, i: (b, 0, i, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        kernel = functools.partial(
-            _mh_kernel, nglo, w2, my, num_heads, groups, has_bias, with_lse
-        )
+        if kv_res:
+            kernel = functools.partial(
+                _mh_kernel_kv_res, nglo, w2, mx, my, num_heads, groups,
+                has_bias, with_lse,
+            )
+        else:
+            kernel = functools.partial(
+                _mh_kernel, nglo, w2, my, num_heads, groups, has_bias,
+                with_lse,
+            )
 
     if nglo > 0:
         # global K AND V rows pre-broadcast over my OUTSIDE the kernel (tiny
@@ -992,7 +1085,7 @@ def _pallas_forward_mh(
         operands.append(jnp.asarray(mask_tail))
 
     flops_cell = 2 * my * w2 * cols * C * 2
-    kv_reads = 3 if whole_image else 7
+    kv_reads = 3 if whole_image or kv_res else 7
     out_specs = out_spec
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     if with_lse:
@@ -1013,7 +1106,7 @@ def _pallas_forward_mh(
             transcendentals=B * mx * my * w2 * cols * num_heads,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=(100 if kv_res else 64) * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
