@@ -42,6 +42,9 @@ def main():
                     metavar=("A", "B"), help="two-point iteration counts")
     ap.add_argument("--pair", choices=["auto", "on", "off"], default="auto",
                     help="force head-pair GEMM merging in the backward kernels")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a device trace of ia chained steps and "
+                         "print the per-op anatomy (tools/xplane.py)")
     args = ap.parse_args()
 
     if args.pair != "auto":
@@ -100,6 +103,31 @@ def main():
 
     ia, ib = args.iters
     timed(ia)  # compile + warmup
+
+    if args.profile:
+        # device-clocked per-op anatomy (tools/xplane.py reads the capture's
+        # xplane.pb — the trace.json drops device planes through the tunnel)
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tools"))
+        import xplane
+
+        with jax.profiler.trace(args.profile):
+            timed(ia)
+        import glob
+
+        pb = sorted(glob.glob(
+            os.path.join(args.profile, "plugins/profile/*/*.xplane.pb")))[-1]
+        print(f"\nper-op device anatomy ({ia} chained steps):")
+        tot = 0.0
+        for kind, cnt, ms in xplane.summarize(pb, topk=40):
+            print(f"  {ms / ia:9.3f} ms/step  {cnt / ia:6.1f}×  {kind}")
+            tot += ms
+        print(f"  {tot / ia:9.3f} ms/step TOTAL device")
+
     best = float("inf")
     for _ in range(3):
         ta, tb = timed(ia), timed(ib)

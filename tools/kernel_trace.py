@@ -21,13 +21,12 @@ from __future__ import annotations
 import argparse
 import collections
 import glob
-import gzip
-import json
 import os
 import os.path as op
 import sys
 
 sys.path.insert(0, op.dirname(op.dirname(op.abspath(__file__))))
+sys.path.insert(0, op.dirname(op.abspath(__file__)))  # tools/ (xplane)
 
 PHASES = (
     "nbh_concat", "score_gemm", "score_add", "softmax_max", "softmax_exp",
@@ -76,38 +75,58 @@ def capture(args):
 
     print(f"{name} batch={B} iters={args.iters} lse={args.lse}", flush=True)
     float(run(q, k, v))  # compile + warmup outside the capture
-    with jax.profiler.trace(args.out):
+    # tpu.trace_start carries level=10 (VERBOSE); the default device trace
+    # level drops those events, so raise it via ProfileOptions. Key names
+    # vary across libtpu versions — set the plausible ones; unknown keys are
+    # ignored by the collector.
+    options = None
+    try:
+        options = jax.profiler.ProfileOptions()
+        options.host_tracer_level = 3
+        options.advanced_configuration = {
+            # libtpu accepts tpu_trace_mode ∈ {TRACE_ONLY_XLA (default),
+            # TRACE_COMPUTE, TRACE_COMPUTE_AND_DMA, TRACE_INSTRUCTION, …};
+            # the in-kernel tracemarks land on the "TC Overlay" plane line
+            # only under a compute-tracing mode
+            "tpu_trace_mode": args.trace_mode,
+            "device_tracer_level": args.trace_level,
+        }
+    except Exception as e:
+        print(f"ProfileOptions unavailable ({e!r}); default levels", flush=True)
+    with jax.profiler.trace(args.out, profiler_options=options):
         float(run(q, k, v))
     return args.out
 
 
 def analyze(out_dir: str, iters: int):
-    hits = sorted(
-        glob.glob(op.join(out_dir, "plugins/profile/*/*.trace.json.gz"))
-    )
+    """Aggregate per-phase device durations from the capture's xplane.pb
+    (the trace.json conversion drops device planes through the tunnel —
+    tools/xplane.py reads the proto directly, device-clocked)."""
+    import xplane
+
+    hits = sorted(glob.glob(op.join(out_dir, "plugins/profile/*/*.xplane.pb")))
     if not hits:
-        raise SystemExit(f"no trace under {out_dir}")
-    with gzip.open(hits[-1], "rt") as f:
-        data = json.load(f)
-    evs = data.get("traceEvents", [])
+        raise SystemExit(f"no xplane under {out_dir}")
     agg = collections.defaultdict(lambda: [0, 0.0])
     total_kernel = 0.0
-    for e in evs:
-        if e.get("ph") != "X":
-            continue
-        nm = e.get("name", "")
-        base = nm.rsplit("/", 1)[-1]
-        if base in PHASES:
-            agg[base][0] += 1
-            agg[base][1] += e.get("dur", 0.0)
-        if "attend" in nm or "mh_kernel" in nm or "custom-call" in nm:
-            total_kernel += e.get("dur", 0.0)
+    other = collections.Counter()
+    for plane in xplane.device_planes(hits[-1]):
+        for line in plane.lines:
+            for e in line.events:
+                base = e.name.rsplit("/", 1)[-1]
+                if base in PHASES:
+                    agg[base][0] += 1
+                    agg[base][1] += e.duration_ps / 1e6  # ps → µs
+                elif line.name == "XLA Ops" and "custom-call" in e.name:
+                    total_kernel += e.duration_ps / 1e6
+                else:
+                    other[f"{line.name} | {e.name[:60]}"] += 1
+    if total_kernel:
+        print(f"custom-call device time: {total_kernel / 1e3 / iters:.3f} "
+              f"ms/call")
     if not agg:
-        names = collections.Counter(
-            e.get("name", "")[:60] for e in evs if e.get("ph") == "X"
-        )
         print("no phase events found; top event names were:")
-        for nm, c in names.most_common(25):
+        for nm, c in other.most_common(25):
             print(f"  {c:6d}  {nm}")
         return
     print(f"\nper-phase anatomy (sum over capture / {iters} chained calls):")
@@ -126,6 +145,11 @@ def main():
     ap.add_argument("--lse", action="store_true",
                     help="trace the train-path forward (LSE stash)")
     ap.add_argument("--out", default="/tmp/vil_kernel_trace")
+    ap.add_argument("--trace-level", type=int, default=10,
+                    help="device trace level (tpu.trace_start uses 10)")
+    ap.add_argument("--trace-mode", default="TRACE_COMPUTE_AND_DMA",
+                    help="libtpu tpu_trace_mode (TRACE_COMPUTE, "
+                         "TRACE_COMPUTE_AND_DMA, TRACE_INSTRUCTION, ...)")
     ap.add_argument("--analyze-only", action="store_true")
     args = ap.parse_args()
     if not args.analyze_only:
