@@ -392,6 +392,62 @@ def test_fused_full_attention_matches_xla(monkeypatch, with_bias, H):
         )
 
 
+@pytest.mark.parametrize("H,with_lse", [(2, False), (3, True)])
+def test_tiled_full_attention_matches_xla(monkeypatch, H, with_lse):
+    """The q-TILED dense forward (huge-N escape for the s=0 stages at 1024²:
+    K/V VMEM-resident with row-constant index maps, Q/out tiles streamed,
+    padded query rows sliced off) must match the whole-image kernel and the
+    XLA reference at a ragged N (N % TQ != 0), incl. the LSE stash; and the
+    fused dispatcher must produce identical grads through the XLA-recompute
+    backward when the tiled tier is forced."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    B, N, M = 2, 13, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (B, N, C))
+    k = jax.random.normal(ks[1], (B, N, C))
+    v = jax.random.normal(ks[2], (B, N, C))
+    res_t = fa._pallas_forward_tiled(
+        q, k, v, H, interpret=True, with_lse=with_lse, tile_q=8
+    )
+    res_w = fa._pallas_forward(
+        q, k, v, None, H, interpret=True, with_lse=with_lse
+    )
+    if with_lse:
+        (out_t, lse_t), (out_w, lse_w) = res_t, res_w
+        np.testing.assert_allclose(
+            np.asarray(lse_t), np.asarray(lse_w), atol=1e-5, rtol=1e-5
+        )
+    else:
+        out_t, out_w = res_t, res_w
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(out_w), atol=1e-6, rtol=1e-6
+    )
+    out_x = fa._xla_reference(q, k, v, None, H)
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )
+
+    # force the tiled tier through the fused dispatcher: grads must flow
+    # via the XLA-recompute backward and match plain autodiff
+    monkeypatch.setattr(fa, "VMEM_BUDGET_BYTES", 0)
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    fused = fa.make_fused_full_attention(H)
+    np.testing.assert_allclose(
+        np.asarray(fused(q, k, v, None)), np.asarray(out_x),
+        atol=1e-5, rtol=1e-5,
+    )
+    g_fused = jax.grad(lambda *a: jnp.sum(fused(*a, None) ** 2),
+                       argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda *a: jnp.sum(fa._xla_reference(*a, None, H) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
 @pytest.mark.parametrize("with_bias,H", [(False, 2), (True, 3)])
 def test_fused_full_attention_backward_kernel(monkeypatch, with_bias, H):
     """The fused full-attention BACKWARD kernel (r3: LSE-stashed forward,

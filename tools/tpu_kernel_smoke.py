@@ -319,6 +319,38 @@ def run_smoke(verbose: bool = True) -> dict:
             f"grad err {e_grad_f:.2e} -> {'PASS' if passed_f else 'FAIL'}",
             file=sys.stderr,
         )
+    # q-TILED dense forward (the huge-N s=0 tier, r4): compiled parity vs
+    # the XLA reference at a ragged N that exercises query padding + the
+    # resident-K/V row-constant blocks
+    Bt, Nt, Ht, Mt = 2, 135, 4, 32
+    Ct = Ht * Mt
+    kst = jax.random.split(jax.random.PRNGKey(11), 3)
+    qt = jax.random.normal(kst[0], (Bt, Nt, Ct), jnp.bfloat16)
+    kt = jax.random.normal(kst[1], (Bt, Nt, Ct), jnp.bfloat16)
+    vt = jax.random.normal(kst[2], (Bt, Nt, Ct), jnp.bfloat16)
+
+    @jax.jit
+    def fa_tiled_pair(q, k, v):
+        ot = fa_mod._pallas_forward_tiled(q, k, v, Ht, tile_q=64)
+        oxr = fa_mod._xla_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), None, Ht,
+        )
+        return ot, oxr
+
+    ot, oxr = fa_tiled_pair(qt, kt, vt)
+    e_tiled = _max_err(ot, oxr)
+    passed_t = e_tiled <= 5e-2
+    ok &= passed_t
+    results["full_attn_tiled"] = {
+        "fwd_max_err": round(e_tiled, 6), "pass": passed_t,
+    }
+    if verbose:
+        print(
+            f"kernel smoke [full_attn_tiled] fwd err {e_tiled:.2e} -> "
+            f"{'PASS' if passed_t else 'FAIL'}",
+            file=sys.stderr,
+        )
     results["ok"] = ok
     return results
 

@@ -158,8 +158,14 @@ class FullAttention(nn.Module):
         if (
             self.use_pallas
             and not attn_drop_active
-            and full_attention.supported(
-                B, N, C // n_loc, H // n_loc, bias is not None
+            and (
+                full_attention.supported(
+                    B, N, C // n_loc, H // n_loc, bias is not None
+                )
+                # huge-N escape (1024² s=0 stages): q-tiled kernel, bias-free
+                or full_attention.supported_tiled(
+                    B, N, C // n_loc, H // n_loc, bias is not None
+                )
             )
             and (jax.default_backend() == "tpu" or full_attention.INTERPRET)
         ):

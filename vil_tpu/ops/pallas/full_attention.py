@@ -52,6 +52,9 @@ def _score_dtype(dtype):
 # same lesson as vil_kernel's row unroll).
 VMEM_BUDGET_BYTES = 56 * 2**20
 
+# q-tiled forward tier budget (its pallas_call raises the scope to 100 MB)
+TILED_VMEM_BUDGET_BYTES = 88 * 2**20
+
 
 def _kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
     """refs: [q, k, v, (bias)?, out, (lse)?]; q/k/v/out blocks (1, N, C);
@@ -153,6 +156,123 @@ def _pallas_forward(
         ),
         interpret=interpret,
     )(*operands)
+
+
+def _tiled_kernel(num_heads: int, with_lse: bool, *refs):
+    """Q-TILED forward body (grid (B, Npad/TQ)) for sequences too long for
+    the whole-image kernel (the s=0 stages at huge resolutions: 1024² stage 3
+    is N=4097 — the XLA fallback there round-trips (B, H, N, N) f32 score
+    tensors through HBM and was measured at ~146 of the 178 ms forward,
+    82%). K/V stay VMEM-resident with row-constant index maps (fetched once
+    per image); Q/out tiles stream; per head the (TQ, N) score tile lives
+    only in VMEM with single-pass max-subtracted softmax and deferred
+    normalization. Padded QUERY rows (Npad = ceil(N/TQ)·TQ) produce garbage
+    rows the caller slices off; keys are never padded so no masking is
+    needed. Bias is unsupported in this tier (an (H, N, N) table at N=4097
+    would be ~800 MB). refs: [q_tile, k, v, out_tile, (lse_tile)?]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    out_ref = refs[i]; i += 1
+    lse_ref = refs[i] if with_lse else None
+
+    q = q_ref[0]  # (TQ, C)
+    C = q.shape[-1]
+    M = C // num_heads
+    outs = []
+    for h in range(num_heads):
+        hs = h * M
+        q_h = q[:, hs : hs + M]
+        k_h = k_ref[0, :, hs : hs + M]  # (N, M)
+        scores = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores - m).astype(q_h.dtype)
+        denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
+        if with_lse:
+            lse_ref[0, h] = (m + jnp.log(denom))[:, 0]
+        acc = jax.lax.dot_general(
+            probs, v_ref[0, :, hs : hs + M], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, M)
+        outs.append((acc * (1.0 / denom)).astype(out_ref.dtype))
+    out_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+def _pick_tile_q(N: int, C: int, num_heads: int) -> Optional[int]:
+    """Largest query tile whose VMEM estimate fits the raised (100 MB −
+    margin) scope: K/V resident (×2 buffers) + per-head (TQ, N) f32+bf16
+    score temporaries ×num_heads (static head unroll — Mosaic keeps every
+    head's stack slots live, vil_kernel's row-unroll lesson)."""
+    for tq in (512, 256, 128, 64, 32):
+        est = (
+            2 * 2 * N * C * 2        # k, v resident ×2 pipeline buffers
+            + 2 * 2 * tq * C * 2     # q, out tiles ×2 buffers
+            + num_heads * 8 * tq * N  # scores f32 + probs bf16 + temps
+        )
+        if est <= TILED_VMEM_BUDGET_BYTES:
+            return tq
+    return None
+
+
+def _pallas_forward_tiled(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    *,
+    interpret: Optional[bool] = None,
+    with_lse: bool = False,
+    tile_q: Optional[int] = None,
+):
+    """Q-tiled dense forward (no bias). q, k, v: (B, N, C), q pre-scaled.
+    Returns (B, N, C) (+ lse (B, H, N) f32 with ``with_lse``)."""
+    B, N, C = q.shape
+    if interpret is None:
+        interpret = INTERPRET
+    tq = tile_q or _pick_tile_q(N, C, num_heads)
+    npad = -(-N // tq) * tq
+    if npad != N:
+        q = jnp.pad(q, ((0, 0), (0, npad - N), (0, 0)))
+
+    tile = pl.BlockSpec((1, tq, C), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    out_specs = tile
+    out_shape = jax.ShapeDtypeStruct((B, npad, C), q.dtype)
+    if with_lse:
+        out_specs = [tile, pl.BlockSpec(
+            (1, num_heads, tq), lambda b, i: (b, 0, i),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, num_heads, npad), jnp.float32),
+        ]
+    res = pl.pallas_call(
+        functools.partial(_tiled_kernel, num_heads, with_lse),
+        grid=(B, npad // tq),
+        in_specs=[tile, kv, kv],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * npad * N * C,
+            bytes_accessed=4 * q.size * q.dtype.itemsize,
+            transcendentals=B * num_heads * npad * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    if with_lse:
+        out, lse = res
+        return out[:, :N], lse[..., :N]
+    return res[:, :N]
 
 
 def _bwd_kernel(num_heads: int, has_bias: bool, *refs):
@@ -324,6 +444,15 @@ def supported(B: int, N: int, C: int, num_heads: int, has_bias: bool) -> bool:
     return est <= VMEM_BUDGET_BYTES
 
 
+def supported_tiled(B: int, N: int, C: int, num_heads: int,
+                    has_bias: bool) -> bool:
+    """True when the q-tiled forward tier applies: bias-free (an (H, N, N)
+    bias at these N would not fit anything) and some tile size fits the
+    raised scope. The dispatcher tries ``supported`` first — this tier is
+    the huge-N escape (1024² s=0 stages: N=4097 / N=1025)."""
+    return not has_bias and _pick_tile_q(N, C, num_heads) is not None
+
+
 def supported_bwd(B: int, N: int, C: int, num_heads: int,
                   has_bias: bool) -> bool:
     """True when the fused backward kernel fits the VMEM budget (per-head:
@@ -352,10 +481,23 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
     Pallas kernel when the shape fits ``supported_bwd``, else XLA recompute
     from the saved inputs."""
 
+    def _forward(q, k, v, bias, with_lse=False):
+        """Tier choice: whole-image kernel when it fits, else the q-tiled
+        kernel (bias-free huge N), else the XLA reference."""
+        B, N, C = q.shape
+        if supported(B, N, C, num_heads, bias is not None):
+            return _pallas_forward(q, k, v, bias, num_heads,
+                                   with_lse=with_lse)
+        if supported_tiled(B, N, C, num_heads, bias is not None):
+            return _pallas_forward_tiled(q, k, v, num_heads,
+                                         with_lse=with_lse)
+        out = _xla_reference(q, k, v, bias, num_heads)
+        return (out, None) if with_lse else out
+
     @jax.custom_vjp
     def fused(q, k, v, bias):
         if use_pallas:
-            return _pallas_forward(q, k, v, bias, num_heads)
+            return _forward(q, k, v, bias)
         return _xla_reference(q, k, v, bias, num_heads)
 
     def fwd(q, k, v, bias):
@@ -363,6 +505,7 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
         fused_bwd = (
             use_pallas
             and pallas_bwd
+            and supported(B, N, C, num_heads, bias is not None)
             and supported_bwd(B, N, C, num_heads, bias is not None)
         )
         if fused_bwd:
@@ -371,7 +514,7 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
             )
             return out, (q, k, v, bias, lse)
         out = (
-            _pallas_forward(q, k, v, bias, num_heads)
+            _forward(q, k, v, bias)
             if use_pallas
             else _xla_reference(q, k, v, bias, num_heads)
         )
