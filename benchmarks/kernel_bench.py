@@ -51,11 +51,40 @@ def two_point(run, x, iters_a=4, iters_b=20, reps=3):
     return best * 1e3
 
 
+def device_clock_ms(run, x, iters=8, out="/tmp/kernel_bench_trace"):
+    """Per-call custom-call duration from a device trace (tools/xplane.py) —
+    device-clocked, immune to the tunnel-RTT noise that can corrupt the
+    two-point host timing (seen: stage-2 reading 0.80 ms vs its true 0.17)."""
+    import glob
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import xplane
+
+    with jax.profiler.trace(out):
+        float(run(x, jnp.int32(iters)))
+    pb = sorted(glob.glob(out + "/plugins/profile/*/*.xplane.pb"))[-1]
+    total = 0.0
+    for plane in xplane.device_planes(pb):
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for e in line.events:
+                if "custom-call" in e.name:
+                    total += e.duration_ps / 1e9
+    return total / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--xla", action="store_true", help="time the XLA tier too")
     ap.add_argument("--stages", default="1,2")
+    ap.add_argument("--host-clock", action="store_true",
+                    help="use the legacy two-point host timing instead of "
+                         "the device-clock trace")
     args = ap.parse_args()
 
     from vil_tpu.ops import masks as masks_lib
@@ -92,10 +121,18 @@ def main():
         pallas_fn = lambda x: vil_kernel._pallas_forward_mh(
             x, k, v, kg, vg, None, mask_add, H
         )
-        ms = two_point(chained(pallas_fn), q)
+        run = chained(pallas_fn)
+        if args.host_clock or jax.default_backend() != "tpu":
+            ms = two_point(run, q)
+            clock = "host"
+        else:
+            two_point(run, q, reps=1)  # compile + warmup
+            ms = device_clock_ms(run, q)
+            clock = "device"
         cols = nglo + 9 * w2
         gflop = 2 * 2 * B * mx * my * w2 * cols * C / 1e9
-        print(f"{name}: pallas {ms:8.3f} ms  ({gflop / ms:6.2f} TFLOP/s)")
+        print(f"{name}: pallas {ms:8.3f} ms  ({gflop / ms:6.2f} TFLOP/s, "
+              f"{clock} clock)")
 
         # numerics check vs the XLA tier (bf16 tolerance)
         out_p = pallas_fn(q)

@@ -292,7 +292,23 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
                 m = jnp.zeros(scores.shape[:-1] + (1,), scores.dtype)
             else:
                 with _scope("softmax_max"):
-                    m = jnp.max(scores, axis=-1, keepdims=True)
+                    # the row-max is the single most expensive VPU pass
+                    # (0.92 of 3.33 ms at stage-1 shapes, r4 device-clock
+                    # ablation) and softmax is shift-invariant — ANY value
+                    # ≥ max-ε is a valid subtrahend. Run the reduce on
+                    # bf16-cast scores (2 elements per 32-bit lane slot →
+                    # half the cross-lane reduction work); the ≤0.4%
+                    # rounding of m cancels exactly in exp(x−m)/Σexp(x−m)
+                    # up to f32 rounding. f32 inputs (CPU/golden-parity
+                    # path) keep the exact f32 reduce.
+                    if (scores.dtype == jnp.float32
+                            and q_g.dtype == jnp.bfloat16):
+                        m = jnp.max(
+                            scores.astype(jnp.bfloat16), axis=-1,
+                            keepdims=True,
+                        ).astype(jnp.float32)
+                    else:
+                        m = jnp.max(scores, axis=-1, keepdims=True)
             # unnormalized probs, cast in the same pass as the exp (the f32
             # probability tensor never hits VMEM); denominator accumulates
             # in f32 FROM the rounded probs — consistent with what the PV
@@ -492,9 +508,22 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
             mask = mask_ref[i_row]
             if n_pair:
                 mask2 = jnp.concatenate([mask, mask], axis=1)
+        if ABLATE == "nocat":
+            # timing-only: GEMM against a WRONG but shape-identical k/v
+            # concat hoisted OUT of the row loop (built once per image from
+            # row 0) — the per-row concat cost collapses to 1/mx, isolating
+            # the neighborhood-concat copies in the anatomy
+            if i_row == 0:
+                nocat_kv = (
+                    _nbh_rows(k_rows, my, kg_row),
+                    _nbh_rows(v_rows, my, vg_row),
+                )
+            k_cat, v_cat = nocat_kv
+        else:
+            k_cat = _nbh_rows(k_rows, my, kg_row)
+            v_cat = _nbh_rows(v_rows, my, vg_row)
         _attend_row(
-            q_ref[0, i_row], _nbh_rows(k_rows, my, kg_row),
-            _nbh_rows(v_rows, my, vg_row),
+            q_ref[0, i_row], k_cat, v_cat,
             bias_grp, mask, mask2, groups, M, (out_ref, (0, i_row)), lse_out,
             comb_row=(
                 None if comb_pair is None
