@@ -139,10 +139,10 @@ def measure_train(batch: int, repeats: int = 3) -> float:
         attn_type="longformerhand", sharew=True, norm_embed=True,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32, use_pallas=on_tpu,
     )
-    tx = optax.adamw(1e-4, weight_decay=0.05)
     x = jax.random.normal(
         jax.random.PRNGKey(1), (batch, 224, 224, 3), jnp.float32
     )
+    tx = optax.adamw(1e-4, weight_decay=0.05)
     targets = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 1000)
     state = jax.jit(lambda: create_train_state(
         model, tx, jax.random.PRNGKey(0), x))()

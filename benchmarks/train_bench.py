@@ -42,6 +42,8 @@ def main():
                     metavar=("A", "B"), help="two-point iteration counts")
     ap.add_argument("--pair", choices=["auto", "on", "off"], default="auto",
                     help="force head-pair GEMM merging in the backward kernels")
+    ap.add_argument("--flat-opt", action="store_true",
+                    help="flat-grouped adamw update (measured dead end)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a device trace of ia chained steps and "
                          "print the per-op anatomy (tools/xplane.py)")
@@ -69,10 +71,20 @@ def main():
         use_pallas=on_tpu and not args.no_pallas,
         fused_ln=args.fused_ln,
     )
-    tx = optax.adamw(1e-4, weight_decay=0.05)
     x = jax.random.normal(
         jax.random.PRNGKey(1), (args.batch, args.img, args.img, 3), jnp.float32
     )
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    if args.flat_opt:
+        # measured dead end at 224² b64 (see TPU.FLAT_OPT in config):
+        # collapses the 4.4 ms of per-leaf update fusions to 0.6 but pays
+        # ~3.9 ms at the ravel boundary — kept for re-measurement
+        from vil_tpu.train.optim import flat_wrap
+
+        params_shape = jax.eval_shape(
+            model.init, {"params": jax.random.PRNGKey(0)}, x
+        )["params"]
+        tx = flat_wrap(tx, params_shape)
     targets = jax.random.randint(jax.random.PRNGKey(2), (args.batch,), 0, 1000)
     state = jax.jit(lambda: create_train_state(
         model, tx, jax.random.PRNGKey(0), x))()

@@ -196,6 +196,59 @@ def test_get_opt_all_variants():
         assert np.all(np.isfinite(np.asarray(up["w"])))
 
 
+def test_flat_opt_matches_per_leaf():
+    """TPU.FLAT_OPT groups params into (decay, dtype) flat vectors so the
+    elementwise optimizers update ~2 leaves instead of ~190 (4.4 ms of
+    fragmented update fusions in the r4 train-step profile). The updates
+    must be numerically identical to the per-leaf path over a multi-step
+    trajectory, for every elementwise optimizer and with the no-decay mask
+    engaged (a 'norm' param lands in the no-decay group)."""
+    import jax
+
+    cfg = get_default_cfg()
+    cfg.OPTIM.WD = 0.05
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32),
+        "norm": {"scale": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
+        "cls_token": jnp.asarray(rng.normal(size=(1, 2)), jnp.float32),
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+    )
+    for name in ("sgd", "qhm", "adam", "adamw"):
+        cfg.OPTIM.OPT = name
+        cfg.TPU.FLAT_OPT = False
+        tx_leaf = O.get_opt(cfg, params, lr=0.01)
+        cfg.TPU.FLAT_OPT = True
+        tx_flat = O.get_opt(cfg, params, lr=0.01)
+        p_l = p_f = params
+        s_l, s_f = tx_leaf.init(p_l), tx_flat.init(p_f)
+        for _ in range(3):
+            u_l, s_l = tx_leaf.update(grads, s_l, p_l)
+            u_f, s_f = tx_flat.update(grads, s_f, p_f)
+            p_l = jax.tree_util.tree_map(lambda p, u: p + u, p_l, u_l)
+            p_f = jax.tree_util.tree_map(lambda p, u: p + u, p_f, u_f)
+        for a, b in zip(jax.tree_util.tree_leaves(p_l),
+                        jax.tree_util.tree_leaves(p_f)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-6,
+                err_msg=name,
+            )
+
+    # generic flat_wrap (no mask): decays everything, matches plain adamw
+    import optax
+
+    tx_plain = optax.adamw(1e-3, weight_decay=0.01)
+    tx_wrapped = O.flat_wrap(optax.adamw(1e-3, weight_decay=0.01), params)
+    u_p, _ = tx_plain.update(grads, tx_plain.init(params), params)
+    u_w, _ = tx_wrapped.update(grads, tx_wrapped.init(params), params)
+    for a, b in zip(jax.tree_util.tree_leaves(u_p),
+                    jax.tree_util.tree_leaves(u_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # schedulers
 # ---------------------------------------------------------------------------

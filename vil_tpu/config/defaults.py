@@ -188,6 +188,18 @@ _k(TPU, "MESH_AXES", ["data"])
 _k(TPU, "PARAM_SHARDING", "replicated")
 # rematerialisation policy for the train step: '', 'minimal', 'full'
 _k(TPU, "REMAT", "")
+# run elementwise optimizers (sgd/qhm/adam/adamw) over two flat parameter
+# vectors (decay / no-decay groups) instead of ~190 separate leaves.
+# MEASURED DEAD END (r4, default OFF): the fragmented per-leaf update
+# fusions cost 4.4 ms of the 38.7 ms train step, and flattening does
+# collapse them to 0.6 ms — but the ravel boundary (2 concats, per-leaf
+# bitcast-converts, unflatten slices) adds ~3.9 ms, a net REGRESSION to
+# 41.6 ms (docs/BENCHMARKS.md). Kept as an option (numerics identical,
+# tests/test_train_stack.py::test_flat_opt_matches_per_leaf); the real fix
+# needs the params to LIVE flat end-to-end, which trades the copies for
+# per-step weight-relayouts. LAMB always keeps the leaf structure. The
+# opt-state layout changes across a flip of this flag (no resume).
+_k(TPU, "FLAT_OPT", False)
 # seed for jax PRNG streams
 _k(TPU, "SEED", 42)
 # MODE>0 training: sample an independent random-shift mode per attention

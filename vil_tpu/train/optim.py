@@ -20,6 +20,7 @@ from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.msvit import NO_WEIGHT_DECAY_SUBSTRINGS
@@ -81,6 +82,69 @@ def qhm(
     return optax.chain(optax.GradientTransformation(init, update), scale)
 
 
+def make_flat_fns(params: Any, mask_tree: Any):
+    """Group the parameter pytree into a handful of FLAT vectors — one per
+    (decay-group, dtype) — so elementwise optimizers update ~2 leaves
+    instead of ~190. The r4 device-op profile showed the fragmented per-leaf
+    update fusions cost 4.4 ms of the 38.7 ms train step against a ~1 ms
+    HBM floor; XLA does not horizontally fuse them. Returns
+    (to_flat, from_flat, flat_mask): to_flat maps any params-shaped pytree
+    to a dict of flat vectors, from_flat inverts it, and flat_mask is the
+    dict-shaped decay mask (True on decay groups) usable with optax's
+    leaf-level ``mask=`` arguments."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    mask_leaves = treedef.flatten_up_to(mask_tree)
+    groups: dict[str, list[int]] = {}
+    for i, (leaf, m) in enumerate(zip(leaves, mask_leaves)):
+        key = f"{'wd' if m else 'nd'}_{jnp.dtype(leaf.dtype).name}"
+        groups.setdefault(key, []).append(i)
+    keys = sorted(groups)
+    shapes = [ [leaves[i].shape for i in groups[k]] for k in keys ]
+    sizes = [ [int(np.prod(s)) if s else 1 for s in shp] for shp in shapes ]
+
+    def to_flat(tree):
+        ls = treedef.flatten_up_to(tree)
+        return {
+            k: jnp.concatenate([ls[i].reshape(-1) for i in groups[k]])
+            for k in keys
+        }
+
+    def from_flat(flat):
+        out = [None] * len(leaves)
+        for k, shp, sz in zip(keys, shapes, sizes):
+            vec = flat[k]
+            off = 0
+            for i, s, n in zip(groups[k], shp, sz):
+                out[i] = jax.lax.slice(vec, (off,), (off + n,)).reshape(s)
+                off += n
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    flat_mask = {k: k.startswith("wd_") for k in keys}
+    return to_flat, from_flat, flat_mask
+
+
+def flat_wrap(tx: optax.GradientTransformation, params: Any,
+              mask_tree: Any = None) -> optax.GradientTransformation:
+    """Run ``tx`` over the flat-grouped view of ``params`` (make_flat_fns).
+    Only valid for ELEMENTWISE transformations (sgd/qhm/adam/adamw — not
+    LAMB, whose trust ratio is per-layer) whose leaf-level masks, if any,
+    were built against the flat-group structure."""
+    if mask_tree is None:
+        mask_tree = jax.tree_util.tree_map(lambda _: True, params)
+    to_flat, from_flat, _ = make_flat_fns(params, mask_tree)
+
+    def init(p):
+        return tx.init(to_flat(p))
+
+    def update(grads, state, p=None):
+        upd, state = tx.update(
+            to_flat(grads), state, to_flat(p) if p is not None else None
+        )
+        return from_flat(upd), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def get_opt(cfg, params: Any, lr: ScalarOrSchedule | None = None) -> optax.GradientTransformation:
     """Build the optimizer from config (reference optim/__init__.py:14-64).
 
@@ -93,6 +157,15 @@ def get_opt(cfg, params: Any, lr: ScalarOrSchedule | None = None) -> optax.Gradi
     mom = cfg.OPTIM.MOM
     b1, b2, eps = cfg.OPTIM.ADAM.BETA1, cfg.OPTIM.ADAM.BETA2, cfg.OPTIM.ADAM.EPS
     mask = decay_mask(params)
+
+    # flat-grouped fast path (TPU.FLAT_OPT): the elementwise optimizers run
+    # over (decay-group × dtype) flat vectors; masks become 2-leaf dicts
+    flatten = bool(getattr(cfg.TPU, "FLAT_OPT", False)) and name != "lamb"
+    wrap = lambda tx: tx
+    if flatten:
+        orig_params, orig_mask = params, mask
+        _, _, mask = make_flat_fns(params, mask)
+        wrap = lambda tx: flat_wrap(tx, orig_params, orig_mask)
     inv_mask = jax.tree_util.tree_map(lambda b: not b, mask)
 
     def with_wd0(tx: optax.GradientTransformation) -> optax.GradientTransformation:
@@ -105,28 +178,30 @@ def get_opt(cfg, params: Any, lr: ScalarOrSchedule | None = None) -> optax.Gradi
 
     if name == "sgd":
         # torch SGD: coupled L2 before momentum, no dampening
-        return with_wd0(
+        return wrap(with_wd0(
             optax.chain(
                 optax.add_decayed_weights(wd, mask=mask),
                 optax.trace(decay=mom, nesterov=False),
                 optax.scale_by_learning_rate(lr),
             )
-        )
+        ))
     if name == "qhm":
-        return qhm(lr, momentum=mom, nu=cfg.OPTIM.NU, weight_decay=wd, mask=mask)
+        return wrap(
+            qhm(lr, momentum=mom, nu=cfg.OPTIM.NU, weight_decay=wd, mask=mask)
+        )
     if name == "adam":
         # torch Adam with weight_decay = coupled L2
-        return with_wd0(
+        return wrap(with_wd0(
             optax.chain(
                 optax.add_decayed_weights(wd, mask=mask),
                 optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
                 optax.scale_by_learning_rate(lr),
             )
-        )
+        ))
     if name == "adamw":
-        return with_wd0(
+        return wrap(with_wd0(
             optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd, mask=mask)
-        )
+        ))
     if name == "lamb":
         return with_wd0(
             optax.lamb(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd, mask=mask)
