@@ -310,6 +310,51 @@ def test_loop_rolled_whole_image_matches_unrolled(
 
 
 @pytest.mark.parametrize(
+    "nglo,with_bias,H,with_lse,mx",
+    [(1, True, 2, True, 3), (0, False, 3, False, 4), (2, True, 3, True, 3),
+     (1, False, 1, False, 2), (1, False, 2, True, 1)],
+)
+def test_ring_whole_image_matches_plain(
+    monkeypatch, nglo, with_bias, H, with_lse, mx
+):
+    """The RING-buffered unrolled whole-image forward (_mh_kernel_img_ring:
+    persistent k/v scratch, one slot rewritten per row, phase-permuted comb
+    tables) must match the plain unrolled kernel and the XLA oracle — incl.
+    degenerate mx<3 grids where ring slots alias the same source rows."""
+    my, w, M = 3, 3, 8
+    w2 = w * w
+    mask_bool = masks_lib.invalid_mask(mx, my, 1, 2, w, 0, 0)
+    mask_add = vil_kernel.mask_to_additive(mask_bool, mx, my, w2, nglo)
+    q, k, v, k_glo, v_glo, bias = _random_inputs(
+        jax.random.PRNGKey(13), 2, mx, my, w, M * H, nglo, with_bias, H=H
+    )
+    monkeypatch.setattr(vil_kernel, "USE_RING", True)
+    out_ring = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
+        with_lse=with_lse,
+    )
+    monkeypatch.setattr(vil_kernel, "USE_RING", False)
+    out_plain = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
+        with_lse=with_lse,
+    )
+    if with_lse:
+        (out_ring, lse_r), (out_plain, lse_p) = out_ring, out_plain
+        np.testing.assert_allclose(
+            np.asarray(lse_r), np.asarray(lse_p), atol=1e-5, rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_ring), np.asarray(out_plain), atol=1e-6, rtol=1e-6
+    )
+    out_xla = vil_kernel._xla_reference_mh(
+        q, k, v, k_glo, v_glo, bias, mask_add, H
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ring), np.asarray(out_xla), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
     "nglo,with_bias,H,with_lse",
     [(1, True, 2, False), (0, False, 3, True), (2, True, 3, True)],
 )

@@ -164,6 +164,16 @@ WHOLE_IMAGE_VMEM_BYTES = 56 * 2**20
 # VMEM estimates above.
 FORCE_FWD_LOOP = None
 
+# ring-buffered unrolled whole-image forward (_mh_kernel_img_ring).
+# MEASURED DEAD END (r4, default OFF): 3.28 → 3.46 ms at stage-1 shapes.
+# The per-row neighborhood concat is LOAD-bound, not copy-bound — Mosaic
+# forwards the SSA concat into the GEMM without a VMEM round-trip, so
+# replacing 9 part-copies with 3 slot stores + a full scratch re-load adds
+# net VMEM traffic (and the phase-tripled comb tables add pressure). Kept
+# behind VIL_TPU_RING=1 with parity tests for re-measurement on future
+# Mosaic versions.
+USE_RING = _os.environ.get("VIL_TPU_RING", "0") == "1"
+
 # K/V-RESIDENT row-streamed tier (_mh_kernel_kv_res): engaged when the full
 # whole-image residency (q+k+v+out) overflows WHOLE_IMAGE_VMEM_BYTES but K/V
 # alone (+ one row of temporaries) fit this budget — e.g. 1024² stage 1
@@ -533,6 +543,106 @@ def _mh_kernel_img(nglo: int, w2: int, mx: int, my: int, num_heads: int,
         if with_lse:
             for h in range(num_heads):
                 lse_ref[0, h, i_row] = lse_out[h]
+
+
+def _mh_kernel_img_ring(nglo: int, w2: int, mx: int, my: int,
+                        num_heads: int, groups, with_lse: bool, class_of,
+                        n_comb: int, *refs):
+    """RING-buffered whole-image kernel body (grid (B,), rows unrolled).
+
+    The r4 device-clock ablation put the per-row neighborhood concat at
+    0.66 ms of the 3.33 ms stage-1 forward — every row rebuilds a
+    (my, 9W²+Nglo, C) operand although consecutive rows share 6 of its 9
+    parts. Here the operand PERSISTS in two VMEM scratch buffers (k/v):
+    column slot b ∈ {0,1,2} holds the three dy-rolls of source row s with
+    slot index (s mod 3), the global columns stay pinned at the tail, and
+    advancing to the next query row rewrites ONE stale slot (3 part stores
+    instead of 9+1 concat copies). The slot→dx-role mapping rotates with the
+    row, so the GEMM's score columns come out phase-permuted — softmax and
+    the PV contraction are column-order-invariant, and the combined
+    bias+mask tables arrive PRE-PERMUTED per phase (wrapper builds 3 phase
+    variants; the row's table index is class_of[r]*3 + r%3, still a static
+    int). Falls back to _mh_kernel_img when the tripled tables overflow the
+    VMEM budget (e.g. RPE bias tables ×H).
+
+    refs: [q, k, v, (kg_row, vg_row)?, comb×n_comb, out, (lse)?,
+    k_buf, v_buf] — the trailing two are pallas scratch (my, 9W²+Nglo, C)."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    kg_row = vg_row = None
+    if nglo > 0:
+        kg_row = refs[i][0]; i += 1
+        vg_row = refs[i][0]; i += 1
+    comb_refs = tuple(refs[i : i + n_comb]); i += n_comb
+    out_ref = refs[i]; i += 1
+    lse_ref = None
+    if with_lse:
+        lse_ref = refs[i]; i += 1
+    k_buf = refs[i]; i += 1
+    v_buf = refs[i]; i += 1
+    C = q_ref.shape[-1]
+    M = C // num_heads
+    comb_pair = _comb_pair_refs(comb_refs, groups)
+
+    def fill_slot(src_ref, buf, s: int, b: int):
+        """Write source row s's three dy-rolls into column slot b."""
+        row = src_ref[0, s]  # (my, W², C)
+        for j, dy in enumerate((-1, 0, 1)):
+            r = row
+            if dy != 0 and my > 1:
+                sh = dy % my
+                r = jnp.concatenate([r[sh:], r[:sh]], axis=0)
+            c0 = (b * 3 + j) * w2
+            buf[:, c0 : c0 + w2, :] = r
+
+    with _scope("ring_init"):
+        for g in range(3):
+            s, b = (g - 1) % mx, (g - 1) % 3
+            fill_slot(k_ref, k_buf, s, b)
+            fill_slot(v_ref, v_buf, s, b)
+        if nglo > 0:
+            k_buf[:, 9 * w2 :, :] = kg_row.astype(k_buf.dtype)
+            v_buf[:, 9 * w2 :, :] = vg_row.astype(v_buf.dtype)
+
+    for i_row in range(mx):
+        lse_out = [] if with_lse else None
+        _attend_row(
+            q_ref[0, i_row], k_buf[...], v_buf[...],
+            None, None, None, groups, M, (out_ref, (0, i_row)), lse_out,
+            comb_row=(comb_pair, class_of[i_row] * 3 + i_row % 3),
+        )
+        if with_lse:
+            for h in range(num_heads):
+                lse_ref[0, h, i_row] = lse_out[h]
+        if i_row + 1 < mx:
+            with _scope("ring_advance"):
+                s, b = (i_row + 2) % mx, (i_row + 2) % 3
+                fill_slot(k_ref, k_buf, s, b)
+                fill_slot(v_ref, v_buf, s, b)
+
+
+def _ring_phase_tables(tables, w2: int, nglo: int):
+    """Pre-permute the comb class tables for the ring kernel's 3 phases.
+
+    For query row r (phase p = r%3), column slot b holds dx-role
+    g = (b − r + 1) mod 3, i.e. source row r−1+g. Each phase's table places
+    the original dx-block g(b, p) columns at slot b; the global tail stays
+    pinned. The phase is folded into the class axis (index = rc·3 + p)."""
+    out = []
+    for t in tables:
+        blocks = [t[..., g * 3 * w2 : (g + 1) * 3 * w2] for g in range(3)]
+        glo = t[..., 9 * w2 :]
+        phases = []
+        for p in range(3):
+            cols = [blocks[(b - p + 1) % 3] for b in range(3)] + [glo]
+            phases.append(jnp.concatenate(cols, axis=-1))
+        # interleave phases on the class axis: index rc*3 + p
+        ph = jnp.stack(phases, axis=2)  # (Hc, ncls, 3, my, R, cols)
+        s = ph.shape
+        out.append(ph.reshape(s[0], s[1] * 3, *s[3:]))
+    return out
 
 
 def _mh_kernel_img_loop(nglo: int, w2: int, mx: int, my: int,
@@ -972,6 +1082,17 @@ def _pallas_forward_mh(
     if FORCE_FWD_LOOP is not None:
         use_loop = FORCE_FWD_LOOP
     use_loop = whole_image and use_loop
+    # RING-buffered unrolled variant (see _mh_kernel_img_ring): persists the
+    # neighborhood operand in VMEM scratch, rewriting one slot per row —
+    # needs phase-tripled comb tables + the two scratch buffers in budget
+    ring = (
+        USE_RING
+        and whole_image
+        and not use_loop
+        and base_bytes + 2 * comb_bytes + mx * row_f32
+        + 2 * my * cols * C * q.dtype.itemsize
+        <= WHOLE_IMAGE_VMEM_BYTES
+    )
     mask_tail = None
     comb_tables = []
     if whole_image:
@@ -983,6 +1104,8 @@ def _pallas_forward_mh(
                 build_comb(classes_host, bias_tail, w2), groups, num_heads
             )
         ]
+        if ring:
+            comb_tables = _ring_phase_tables(comb_tables, w2, nglo)
     else:
         class_of = None
         mask_tail = expand_tail_mask(mask_add, nglo, w2).astype(sd)
@@ -1020,6 +1143,11 @@ def _pallas_forward_mh(
             kernel = functools.partial(
                 _mh_kernel_img_loop, nglo, w2, mx, my, num_heads, groups,
                 with_lse, len(comb_tables),
+            )
+        elif ring:
+            kernel = functools.partial(
+                _mh_kernel_img_ring, nglo, w2, mx, my, num_heads, groups,
+                with_lse, class_of, len(comb_tables),
             )
         else:
             kernel = functools.partial(
@@ -1123,12 +1251,16 @@ def _pallas_forward_mh(
             out_shape,
             jax.ShapeDtypeStruct((B, num_heads, mx, my, w2), jnp.float32),
         ]
+    scratch_shapes = (
+        [pltpu.VMEM((my, cols, C), q.dtype)] * 2 if ring else []
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_cell * B * mx,
             bytes_accessed=(q.size + kv_reads * k.size) * q.dtype.itemsize,
