@@ -204,7 +204,16 @@ def main():
         _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
         from tpu_kernel_smoke import run_smoke
 
-        kernels_ok = bool(run_smoke()["ok"])
+        for attempt in range(3):  # the tunnel drops remote compiles sometimes
+            try:
+                kernels_ok = bool(run_smoke()["ok"])
+                break
+            except Exception as e:
+                print(f"kernel smoke attempt {attempt + 1} failed: {e!r}",
+                      file=__import__("sys").stderr)
+                time.sleep(30)
+        else:
+            kernels_ok = False
     except Exception as e:  # never block the throughput line
         print(f"kernel smoke failed to run: {e!r}", file=__import__("sys").stderr)
         kernels_ok = False

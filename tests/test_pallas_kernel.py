@@ -475,7 +475,8 @@ def test_tiled_full_attention_matches_xla(monkeypatch, H, with_lse):
     )
 
     # force the tiled tier through the fused dispatcher: grads must flow
-    # via the XLA-recompute backward and match plain autodiff
+    # via the TILED fused backward (supported_bwd_tiled) and match plain
+    # autodiff of the XLA reference
     monkeypatch.setattr(fa, "VMEM_BUDGET_BYTES", 0)
     monkeypatch.setattr(fa, "INTERPRET", True)
     fused = fa.make_fused_full_attention(H)
@@ -488,6 +489,48 @@ def test_tiled_full_attention_matches_xla(monkeypatch, H, with_lse):
     g_ref = jax.grad(lambda *a: jnp.sum(fa._xla_reference(*a, None, H) ** 2),
                      argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+    # and with the tiled backward disabled, the XLA-recompute fallback
+    # must agree too
+    monkeypatch.setattr(fa, "TILED_VMEM_BUDGET_BYTES", 0)
+    assert not fa.supported_bwd_tiled(B, N, C, H, False)
+    fused_xla_bwd = fa.make_fused_full_attention(H, use_pallas=False)
+    g_xla = jax.grad(lambda *a: jnp.sum(fused_xla_bwd(*a, None) ** 2),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_xla, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
+@pytest.mark.parametrize("H,tile_q", [(2, 8), (3, 4)])
+def test_tiled_full_attention_backward_kernel(H, tile_q):
+    """The q-tiled fused BACKWARD (_pallas_backward_tiled: one-exp-pass
+    probs from the stashed LSE, dK/dV accumulated into f32 whole-sequence
+    output blocks resident across the image's tiles) must match jax.vjp of
+    the XLA reference at a ragged N, incl. zero contributions from padded
+    query rows."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    B, N, M = 2, 13, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    q = jax.random.normal(ks[0], (B, N, C))
+    k = jax.random.normal(ks[1], (B, N, C))
+    v = jax.random.normal(ks[2], (B, N, C))
+    g = jax.random.normal(ks[3], (B, N, C))
+    _, lse = fa._pallas_forward_tiled(
+        q, k, v, H, interpret=True, with_lse=True, tile_q=tile_q
+    )
+    dq, dk, dv = fa._pallas_backward_tiled(
+        q, k, v, g, lse, H, interpret=True, tile_q=tile_q
+    )
+    _, vjp = jax.vjp(lambda q, k, v: fa._xla_reference(q, k, v, None, H),
+                     q, k, v)
+    dq_r, dk_r, dv_r = vjp(g)
+    for a, b in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
         )

@@ -275,6 +275,131 @@ def _pallas_forward_tiled(
     return res[:, :N]
 
 
+def _tiled_bwd_kernel(num_heads: int, *refs):
+    """Q-TILED fused backward body (grid (B, Npad/TQ)), the train-path twin
+    of _tiled_kernel: K/V stay VMEM-resident; per q-tile and head it
+    recomputes P = exp(S − lse) in ONE pass (no max/sum), then
+    dP = g·vᵀ, δ = Σ P⊙dP, dS = P⊙(dP − δ), dq = dS·K — and ACCUMULATES
+    dK += dSᵀ·q, dV += Pᵀ·g into f32 whole-sequence output blocks whose
+    index maps are constant in the tile coordinate (Pallas keeps them
+    resident across the image's tiles and writes back once). Padded query
+    rows are exact no-ops: q/g/lse pad with zeros → dS = 0 and g-rows = 0,
+    so their dK/dV contributions vanish and their dq rows are sliced off.
+    Bias unsupported (tier is bias-free). refs: [q_tile, k, v, g_tile,
+    lse_tile, dq_tile, dk, dv]."""
+    (q_ref, k_ref, v_ref, g_ref, lse_ref, dq_ref, dk_ref, dv_ref) = refs
+    iq = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    q = q_ref[0]  # (TQ, C)
+    g = g_ref[0]
+    C = q.shape[-1]
+    M = C // num_heads
+    dqs = []
+    for h in range(num_heads):
+        hs = h * M
+        q_h = q[:, hs : hs + M]
+        g_h = g[:, hs : hs + M]
+        k_h = k_ref[0, :, hs : hs + M]  # (N, M)
+        v_h = v_ref[0, :, hs : hs + M]
+        s = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
+        p = jnp.exp(s - lse_ref[0, h][:, None]).astype(q_h.dtype)
+        dp = jax.lax.dot_general(
+            g_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TQ, N) f32
+        delta = jnp.sum(
+            p.astype(jnp.float32) * dp, axis=-1, keepdims=True
+        )
+        ds = (p.astype(jnp.float32) * (dp - delta)).astype(q_h.dtype)
+        dqs.append(jax.lax.dot_general(
+            ds, k_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype))  # (TQ, M)
+        dk_ref[0, :, hs : hs + M] += jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, M) f32
+        dv_ref[0, :, hs : hs + M] += jax.lax.dot_general(
+            p, g_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1)
+
+
+def _pick_tile_q_bwd(N: int, C: int, num_heads: int) -> Optional[int]:
+    """Backward tile size: K/V + f32 dK/dV resident (×2 buffers) + per-head
+    S/P/dP/dS/δ temporaries (~16 B per score element, ×num_heads unrolled)."""
+    for tq in (256, 128, 64, 32):
+        est = (
+            2 * 2 * N * C * 2        # k, v resident ×2 buffers
+            + 2 * 2 * N * C * 4      # dk, dv f32 resident ×2 buffers
+            + 6 * 2 * tq * C * 2     # q, g, dq tiles ×2 buffers
+            + num_heads * 16 * tq * N
+        )
+        if est <= TILED_VMEM_BUDGET_BYTES:
+            return tq
+    return None
+
+
+def supported_bwd_tiled(B: int, N: int, C: int, num_heads: int,
+                        has_bias: bool) -> bool:
+    return not has_bias and _pick_tile_q_bwd(N, C, num_heads) is not None
+
+
+def _pallas_backward_tiled(
+    q: jax.Array, k: jax.Array, v: jax.Array, g: jax.Array, lse: jax.Array,
+    num_heads: int, *, interpret: Optional[bool] = None,
+    tile_q: Optional[int] = None,
+):
+    """Tiled dense backward (no bias): q/k/v/g (B, N, C), lse (B, H, N) from
+    the tiled forward. Returns (dq, dk, dv) in q's dtype."""
+    B, N, C = q.shape
+    if interpret is None:
+        interpret = INTERPRET
+    tq = tile_q or _pick_tile_q_bwd(N, C, num_heads)
+    npad = -(-N // tq) * tq
+    if npad != N:
+        pad = ((0, 0), (0, npad - N), (0, 0))
+        q, g = jnp.pad(q, pad), jnp.pad(g, pad)
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, npad - N)))
+
+    tile = pl.BlockSpec((1, tq, C), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    kv = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, num_heads, tq), lambda b, i: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_tiled_bwd_kernel, num_heads),
+        grid=(B, npad // tq),
+        in_specs=[tile, kv, kv, tile, lse_spec],
+        out_specs=[tile, kv, kv],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, npad, C), q.dtype),
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * npad * N * C,
+            bytes_accessed=8 * q.size * q.dtype.itemsize,
+            transcendentals=B * num_heads * npad * N,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse)
+    return dq[:, :N], dk.astype(q.dtype), dv.astype(q.dtype)
+
+
 def _bwd_kernel(num_heads: int, has_bias: bool, *refs):
     """Fused backward body (grid (B,)). refs: [q, k, v, g, lse, (bias)?,
     dq, dk, dv, (dbias)?]; q/k/v/g/dq/dk/dv blocks (1, N, C); lse (1, H, N)
@@ -502,15 +627,29 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
 
     def fwd(q, k, v, bias):
         B, N, C = q.shape
+        has_bias = bias is not None
         fused_bwd = (
             use_pallas
             and pallas_bwd
-            and supported(B, N, C, num_heads, bias is not None)
-            and supported_bwd(B, N, C, num_heads, bias is not None)
+            and supported(B, N, C, num_heads, has_bias)
+            and supported_bwd(B, N, C, num_heads, has_bias)
+        )
+        tiled_bwd = (
+            use_pallas
+            and pallas_bwd
+            and not fused_bwd
+            and not supported(B, N, C, num_heads, has_bias)
+            and supported_tiled(B, N, C, num_heads, has_bias)
+            and supported_bwd_tiled(B, N, C, num_heads, has_bias)
         )
         if fused_bwd:
             out, lse = _pallas_forward(
                 q, k, v, bias, num_heads, with_lse=True
+            )
+            return out, (q, k, v, bias, lse)
+        if tiled_bwd:
+            out, lse = _pallas_forward_tiled(
+                q, k, v, num_heads, with_lse=True
             )
             return out, (q, k, v, bias, lse)
         out = (
@@ -523,10 +662,18 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
     def bwd(res, g):
         q, k, v, bias, lse = res
         if lse is not None:
-            grads = _pallas_backward(q, k, v, g, lse, bias, num_heads)
-            dq, dk, dv = grads[:3]
-            dbias = grads[3].astype(bias.dtype) if bias is not None else None
-            return dq, dk, dv, dbias
+            B, N, C = q.shape
+            # the forward's tier choice is a pure function of the shapes —
+            # re-derive which backward the stashed lse belongs to
+            if supported(B, N, C, num_heads, bias is not None):
+                grads = _pallas_backward(q, k, v, g, lse, bias, num_heads)
+                dq, dk, dv = grads[:3]
+                dbias = (
+                    grads[3].astype(bias.dtype) if bias is not None else None
+                )
+                return dq, dk, dv, dbias
+            dq, dk, dv = _pallas_backward_tiled(q, k, v, g, lse, num_heads)
+            return dq, dk, dv, None
 
         diff_args = tuple(a for a in (q, k, v, bias) if a is not None)
 

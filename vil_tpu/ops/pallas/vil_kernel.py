@@ -452,8 +452,10 @@ def _mh_kernel_kv_res(nglo: int, w2: int, mx: int, my: int, num_heads: int,
     n_pair = sum(1 for g in groups if len(g) == 2)
 
     i_row = pl.program_id(1)
-    im1 = jax.lax.rem(i_row + mx - 1, mx)
-    ip1 = jax.lax.rem(i_row + 1, mx)
+    mx32 = jnp.int32(mx)  # match program_id's int32 (x64 mode would weak-
+    # type a bare python int to int64 and lax.rem rejects mixed dtypes)
+    im1 = jax.lax.rem(i_row + mx32 - 1, mx32)
+    ip1 = jax.lax.rem(i_row + 1, mx32)
     with _scope("kv_row_load"):
         k_rows = [k_ref[0, im1], k_ref[0, i_row], k_ref[0, ip1]]
         v_rows = [v_ref[0, im1], v_ref[0, i_row], v_ref[0, ip1]]
