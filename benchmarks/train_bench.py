@@ -44,6 +44,11 @@ def main():
                     help="force head-pair GEMM merging in the backward kernels")
     ap.add_argument("--flat-opt", action="store_true",
                     help="flat-grouped adamw update (measured dead end)")
+    ap.add_argument("--stacked-opt", action="store_true",
+                    help="stack same-shape small leaves for the adamw "
+                         "update (bitcast-free sibling of --flat-opt)")
+    ap.add_argument("--stacked-thr", type=int, default=65536,
+                    help="element-count threshold for --stacked-opt")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a device trace of ia chained steps and "
                          "print the per-op anatomy (tools/xplane.py)")
@@ -85,6 +90,13 @@ def main():
             model.init, {"params": jax.random.PRNGKey(0)}, x
         )["params"]
         tx = flat_wrap(tx, params_shape)
+    elif args.stacked_opt:
+        from vil_tpu.train.optim import stacked_wrap
+
+        params_shape = jax.eval_shape(
+            model.init, {"params": jax.random.PRNGKey(0)}, x
+        )["params"]
+        tx = stacked_wrap(tx, params_shape, threshold=args.stacked_thr)
     targets = jax.random.randint(jax.random.PRNGKey(2), (args.batch,), 0, 1000)
     state = jax.jit(lambda: create_train_state(
         model, tx, jax.random.PRNGKey(0), x))()

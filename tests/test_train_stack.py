@@ -249,6 +249,64 @@ def test_flat_opt_matches_per_leaf():
                                    atol=1e-7, rtol=1e-6)
 
 
+def test_stacked_opt_matches_per_leaf():
+    """TPU.STACKED_OPT stacks same-(shape,dtype,decay) small leaves onto a
+    leading axis (the bitcast-free sibling of FLAT_OPT). Updates must be
+    numerically identical to the per-leaf path over a multi-step
+    trajectory for every elementwise optimizer, with the no-decay mask
+    engaged, and with a threshold that leaves some big leaves per-leaf."""
+    import jax
+
+    cfg = get_default_cfg()
+    cfg.OPTIM.WD = 0.05
+    rng = np.random.default_rng(0)
+    params = {
+        # two same-shape decay leaves -> one stacked group
+        "w1": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32),
+        "w2": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32),
+        # same shape but no-decay -> separate group from w1/w2
+        "norm": {"scale": jnp.asarray(rng.normal(size=(3,)), jnp.float32)},
+        "cls_token": jnp.asarray(rng.normal(size=(1, 3)), jnp.float32),
+        # big leaf above the threshold -> singleton passthrough
+        "big": jnp.asarray(rng.normal(size=(64, 8)), jnp.float32),
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+    )
+    cfg.TPU.STACKED_OPT_THRESHOLD = 256  # 'big' (512 elems) stays per-leaf
+    for name in ("sgd", "qhm", "adam", "adamw"):
+        cfg.OPTIM.OPT = name
+        cfg.TPU.STACKED_OPT = False
+        tx_leaf = O.get_opt(cfg, params, lr=0.01)
+        cfg.TPU.STACKED_OPT = True
+        tx_stk = O.get_opt(cfg, params, lr=0.01)
+        p_l = p_s = params
+        s_l, s_s = tx_leaf.init(p_l), tx_stk.init(p_s)
+        for _ in range(3):
+            u_l, s_l = tx_leaf.update(grads, s_l, p_l)
+            u_s, s_s = tx_stk.update(grads, s_s, p_s)
+            p_l = jax.tree_util.tree_map(lambda p, u: p + u, p_l, u_l)
+            p_s = jax.tree_util.tree_map(lambda p, u: p + u, p_s, u_s)
+        for a, b in zip(jax.tree_util.tree_leaves(p_l),
+                        jax.tree_util.tree_leaves(p_s)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-6,
+                err_msg=name,
+            )
+
+    # grouping sanity: the two decay (4,3) leaves share one stacked group
+    from vil_tpu.train.optim import decay_mask, make_stacked_fns
+    to_s, from_s, smask = make_stacked_fns(
+        params, decay_mask(params), threshold=256)
+    stacked = to_s(params)
+    multi = [k for k, v in stacked.items() if v.ndim == 3 and v.shape[0] == 2]
+    assert len(multi) == 1, stacked.keys()
+    rt = from_s(stacked)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(rt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 # ---------------------------------------------------------------------------
 # schedulers
 # ---------------------------------------------------------------------------

@@ -200,6 +200,15 @@ _k(TPU, "REMAT", "")
 # per-step weight-relayouts. LAMB always keeps the leaf structure. The
 # opt-state layout changes across a flip of this flag (no resume).
 _k(TPU, "FLAT_OPT", False)
+# Stacked-group optimizer: same-(shape,dtype,decay) leaves below
+# STACKED_OPT_THRESHOLD elements are jnp.stack'ed onto a leading axis so
+# the elementwise optimizers update ~73 leaves instead of ~185 — the
+# bitcast-free sibling of FLAT_OPT (stack preserves layout; copied bytes
+# ~1.4 MB at the default threshold on ViL-Small). Numerics identical
+# (tests/test_train_stack.py::test_stacked_opt_matches_per_leaf); the
+# opt-state layout changes across a flip of this flag (no resume).
+_k(TPU, "STACKED_OPT", False)
+_k(TPU, "STACKED_OPT_THRESHOLD", 65536)
 # seed for jax PRNG streams
 _k(TPU, "SEED", 42)
 # MODE>0 training: sample an independent random-shift mode per attention

@@ -123,6 +123,82 @@ def make_flat_fns(params: Any, mask_tree: Any):
     return to_flat, from_flat, flat_mask
 
 
+def make_stacked_fns(params: Any, mask_tree: Any, threshold: int = 65536):
+    """Group SAME-SHAPE parameter leaves onto a new leading axis — the
+    bitcast-free sibling of :func:`make_flat_fns`. The r4 FLAT_OPT A/B
+    showed the flat path's ravel boundary (reshape(-1) → per-leaf
+    bitcast-converts, 2.1 ms) costs more than the fused-update win; shape-
+    preserving ``jnp.stack`` has no such converts, and restricting the
+    grouping to leaves with < ``threshold`` elements keeps the copied bytes
+    negligible (1.4 MB at 64K on ViL-Small) while still collapsing the
+    op-count tail (139 tiny leaves → 27 stacked updates; the 46 big leaves
+    are bandwidth-bound and stay per-leaf, copy-free).
+
+    Returns (to_stacked, from_stacked, stacked_mask): to_stacked maps any
+    params-shaped pytree to a dict {group_key: (n, *shape) or leaf},
+    from_stacked inverts it, stacked_mask is the dict-shaped decay mask.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    mask_leaves = treedef.flatten_up_to(mask_tree)
+    by_key: dict[str, list[int]] = {}
+    for i, (leaf, m) in enumerate(zip(leaves, mask_leaves)):
+        if leaf.size < threshold:
+            shp = "x".join(map(str, leaf.shape))
+            key = f"{'wd' if m else 'nd'}_{jnp.dtype(leaf.dtype).name}_{shp}"
+        else:
+            key = f"leaf{i}"
+        by_key.setdefault(key, []).append(i)
+    # singleton groups pass through untouched (no stack/slice ops at all)
+    stacked_keys = [k for k, idxs in sorted(by_key.items()) if len(idxs) > 1]
+    single_keys = [k for k, idxs in sorted(by_key.items()) if len(idxs) == 1]
+
+    def to_stacked(tree):
+        ls = treedef.flatten_up_to(tree)
+        out = {k: jnp.stack([ls[i] for i in by_key[k]]) for k in stacked_keys}
+        out.update({k: ls[by_key[k][0]] for k in single_keys})
+        return out
+
+    def from_stacked(stacked):
+        out = [None] * len(leaves)
+        for k in stacked_keys:
+            arr = stacked[k]
+            for j, i in enumerate(by_key[k]):
+                out[i] = arr[j]
+        for k in single_keys:
+            out[by_key[k][0]] = stacked[k]
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    stacked_mask = {
+        k: bool(mask_leaves[by_key[k][0]])
+        for k in stacked_keys + single_keys
+    }
+    return to_stacked, from_stacked, stacked_mask
+
+
+def stacked_wrap(tx: optax.GradientTransformation, params: Any,
+                 mask_tree: Any = None,
+                 threshold: int = 65536) -> optax.GradientTransformation:
+    """Run ``tx`` over the stacked-group view of ``params``
+    (make_stacked_fns). Valid for ELEMENTWISE transformations only
+    (sgd/qhm/adam/adamw — not LAMB, whose trust ratio is per-tensor and
+    would mix stacked layers)."""
+    if mask_tree is None:
+        mask_tree = jax.tree_util.tree_map(lambda _: True, params)
+    to_stacked, from_stacked, _ = make_stacked_fns(
+        params, mask_tree, threshold)
+
+    def init(p):
+        return tx.init(to_stacked(p))
+
+    def update(grads, state, p=None):
+        upd, state = tx.update(
+            to_stacked(grads), state, to_stacked(p) if p is not None else None
+        )
+        return from_stacked(upd), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def flat_wrap(tx: optax.GradientTransformation, params: Any,
               mask_tree: Any = None) -> optax.GradientTransformation:
     """Run ``tx`` over the flat-grouped view of ``params`` (make_flat_fns).
@@ -161,11 +237,20 @@ def get_opt(cfg, params: Any, lr: ScalarOrSchedule | None = None) -> optax.Gradi
     # flat-grouped fast path (TPU.FLAT_OPT): the elementwise optimizers run
     # over (decay-group × dtype) flat vectors; masks become 2-leaf dicts
     flatten = bool(getattr(cfg.TPU, "FLAT_OPT", False)) and name != "lamb"
+    # stacked-group fast path (TPU.STACKED_OPT): same-shape small leaves
+    # stacked on a leading axis — bitcast-free, negligible copies
+    stacked = (bool(getattr(cfg.TPU, "STACKED_OPT", False)) and name != "lamb"
+               and not flatten)
     wrap = lambda tx: tx
     if flatten:
         orig_params, orig_mask = params, mask
         _, _, mask = make_flat_fns(params, mask)
         wrap = lambda tx: flat_wrap(tx, orig_params, orig_mask)
+    elif stacked:
+        orig_params, orig_mask = params, mask
+        thr = int(getattr(cfg.TPU, "STACKED_OPT_THRESHOLD", 65536))
+        _, _, mask = make_stacked_fns(params, mask, thr)
+        wrap = lambda tx: stacked_wrap(tx, orig_params, orig_mask, thr)
     inv_mask = jax.tree_util.tree_map(lambda b: not b, mask)
 
     def with_wd0(tx: optax.GradientTransformation) -> optax.GradientTransformation:
