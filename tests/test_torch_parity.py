@@ -179,6 +179,12 @@ def _grad_pair(attn_type, arch=ARCH, img=IMG, sharew=True, rpe_arch=False,
 
     variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x_np))
     params = import_torch_checkpoint(state, variables["params"], strict=True)
+    # non-trainable collections (performer random-feature projections) ride
+    # along imported but stay out of the differentiated pytree
+    extra = {
+        k: import_torch_checkpoint(state, v, strict=True)
+        for k, v in variables.items() if k != "params"
+    }
 
     try:
         logits_t = ref(torch.from_numpy(x_np.transpose(0, 3, 1, 2)))
@@ -200,7 +206,8 @@ def _grad_pair(attn_type, arch=ARCH, img=IMG, sharew=True, rpe_arch=False,
 
     def loss_fn(p):
         logits = model.apply(
-            {"params": p}, jnp.asarray(x_np), deterministic=True, mode=mode
+            {"params": p, **extra}, jnp.asarray(x_np), deterministic=True,
+            mode=mode,
         )
         return _ce_loss_np(logits, labels)
 
@@ -255,6 +262,27 @@ def test_grads_match_reference_full():
     lt, lj, jg, tg = _grad_pair("full", rpe_arch=True)
     assert abs(lt - lj) <= 1e-4 * max(1.0, abs(lt)), (lt, lj)
     _assert_grads_close(jg, tg)
+
+
+@pytest.mark.parametrize("attn_type", ["linformer", "srformer"])
+def test_grads_match_reference_efficient(attn_type):
+    """Gradient parity through the efficient-attention families: linformer's
+    learned k/v sequence projections (reference linformer.py:32-45) and
+    srformer's strided-conv + InstanceNorm reduction (srformer.py:21-38)
+    each add trainable parameters whose VJPs only these tests exercise."""
+    lt, lj, jg, tg = _grad_pair(attn_type)
+    assert abs(lt - lj) <= 1e-4 * max(1.0, abs(lt)), (lt, lj)
+    _assert_grads_close(jg, tg)
+
+
+def test_grads_match_reference_performer():
+    """Performer gradient parity: FAVOR+ random features (imported as
+    buffers, non-trainable) feed exp/normalizer chains whose gradients reach
+    q/k/v projections down a path no other test differentiates (reference
+    performer.py:27-116)."""
+    lt, lj, jg, tg = _grad_pair("performer", arch=ARCH.replace("f4", "f8"))
+    assert abs(lt - lj) <= 5e-4 * max(1.0, abs(lt)), (lt, lj)
+    _assert_grads_close(jg, tg, rel=5e-3)
 
 
 def test_grads_match_reference_mode_static():
