@@ -505,6 +505,42 @@ def test_tiled_full_attention_matches_xla(monkeypatch, H, with_lse):
         )
 
 
+def test_dense_tile_env_override(monkeypatch):
+    """VIL_TPU_DENSE_TILE_Q[_BWD] sweep knobs: a bare int applies to every
+    N; an ``N:tq`` map targets one stage. The overridden tile must change
+    nothing numerically (padded rows are exact no-ops)."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    monkeypatch.setenv("VIL_TPU_DENSE_TILE_Q", "13:4,99:8")
+    assert fa._env_tile("VIL_TPU_DENSE_TILE_Q", 13) == 4
+    assert fa._env_tile("VIL_TPU_DENSE_TILE_Q", 99) == 8
+    assert fa._env_tile("VIL_TPU_DENSE_TILE_Q", 7) is None
+    monkeypatch.setenv("VIL_TPU_DENSE_TILE_Q", "16")
+    assert fa._env_tile("VIL_TPU_DENSE_TILE_Q", 13) == 16
+    assert fa._env_tile("VIL_TPU_DENSE_TILE_Q_BWD", 13) is None
+
+    B, N, H, M = 2, 13, 2, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q, k, v, g = (jax.random.normal(ks[i], (B, N, C)) for i in range(4))
+    monkeypatch.setenv("VIL_TPU_DENSE_TILE_Q", "13:4")
+    monkeypatch.setenv("VIL_TPU_DENSE_TILE_Q_BWD", "13:4")
+    out, lse = fa._pallas_forward_tiled(
+        q, k, v, H, interpret=True, with_lse=True
+    )
+    dq, dk, dv = fa._pallas_backward_tiled(q, k, v, g, lse, H, interpret=True)
+    out_x, vjp = jax.vjp(
+        lambda q, k, v: fa._xla_reference(q, k, v, None, H), q, k, v
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )
+    for a, b in zip((dq, dk, dv), vjp(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )
+
+
 @pytest.mark.parametrize("H,tile_q", [(2, 8), (3, 4)])
 def test_tiled_full_attention_backward_kernel(H, tile_q):
     """The q-tiled fused BACKWARD (_pallas_backward_tiled: one-exp-pass

@@ -28,6 +28,7 @@ Design notes (shared with vil_kernel):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -202,6 +203,25 @@ def _tiled_kernel(num_heads: int, with_lse: bool, *refs):
     out_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
+def _env_tile(name: str, N: int) -> Optional[int]:
+    """Tile-size override for sweeps: ``VIL_TPU_DENSE_TILE_Q[_BWD]`` is
+    either a bare int (applies to every dense-tiled stage) or a
+    comma-separated ``N:tq`` map (e.g. ``4097:64,1025:256``) so each s=0
+    stage can be swept independently. No VMEM check — sweep values must fit
+    the raised scope or Mosaic rejects the kernel."""
+    v = os.environ.get(name, "")
+    if not v:
+        return None
+    for part in v.split(","):
+        if ":" in part:
+            n, t = part.split(":")
+            if int(n) == N:
+                return int(t)
+        else:
+            return int(part)
+    return None
+
+
 def _pick_tile_q(N: int, C: int, num_heads: int) -> Optional[int]:
     """Largest query tile whose VMEM estimate fits the raised (100 MB −
     margin) scope: K/V resident (×2 buffers) + per-head (TQ, N) f32+bf16
@@ -233,7 +253,8 @@ def _pallas_forward_tiled(
     B, N, C = q.shape
     if interpret is None:
         interpret = INTERPRET
-    tq = tile_q or _pick_tile_q(N, C, num_heads)
+    tq = (tile_q or _env_tile("VIL_TPU_DENSE_TILE_Q", N)
+          or _pick_tile_q(N, C, num_heads))
     npad = -(-N // tq) * tq
     if npad != N:
         q = jnp.pad(q, ((0, 0), (0, npad - N), (0, 0)))
@@ -364,7 +385,8 @@ def _pallas_backward_tiled(
     B, N, C = q.shape
     if interpret is None:
         interpret = INTERPRET
-    tq = tile_q or _pick_tile_q_bwd(N, C, num_heads)
+    tq = (tile_q or _env_tile("VIL_TPU_DENSE_TILE_Q_BWD", N)
+          or _pick_tile_q_bwd(N, C, num_heads))
     npad = -(-N // tq) * tq
     if npad != N:
         pad = ((0, 0), (0, npad - N), (0, 0))
