@@ -53,6 +53,14 @@ def _score_dtype(dtype):
 # same lesson as vil_kernel's row unroll).
 VMEM_BUDGET_BYTES = 56 * 2**20
 
+# the BIASED backward carries two extra (H, N, N) f32 tensors (bias +
+# resident dbias accumulator), which pushed every RPE model at 384² stage-3
+# shapes past the 56 MB budget; its pallas_call raises the scope to 96 MB
+# (the q-tiled tier already runs at 100 MB on the 128 MB v5e VMEM) so e.g.
+# H=8/C=512 and H=6/C=384 @ N=577 engage. H=12/C=768 (base_wide) still
+# estimates ~108 MB and keeps the XLA-recompute fallback.
+BIASED_BWD_VMEM_BUDGET_BYTES = 84 * 2**20
+
 # q-tiled forward tier budget (its pallas_call raises the scope to 100 MB)
 TILED_VMEM_BUDGET_BYTES = 88 * 2**20
 
