@@ -102,7 +102,20 @@ def timed_fetch(fn, variables, x) -> float:
     return time.time() - t0
 
 
-def measure(batch: int, repeats: int = 3) -> float:
+def _median_spread(samples: list[float]) -> tuple[float, float]:
+    """Median throughput and relative spread ((max−min)/median) over the
+    valid samples — the r4 verdict's ask: best-of-N with no spread made
+    regression, noise, and improvement indistinguishable in the artifact."""
+    import statistics
+
+    med = statistics.median(samples)
+    spread = (max(samples) - min(samples)) / med if med > 0 else 0.0
+    return med, spread
+
+
+def measure(batch: int, repeats: int = 5) -> tuple[float, float]:
+    """Returns (median img/s, relative spread) over ``repeats`` serialized
+    two-point measurements."""
     iters_a, iters_b = 4, 20
     model, variables, x = build_model_and_vars(batch)
 
@@ -112,20 +125,23 @@ def measure(batch: int, repeats: int = 3) -> float:
     timed_fetch(run_a, variables, x)
     timed_fetch(run_b, variables, x)
 
-    best = float("inf")
+    samples = []
     for _ in range(repeats):
         ta = timed_fetch(run_a, variables, x)
         tb = timed_fetch(run_b, variables, x)
         per_iter = (tb - ta) / (iters_b - iters_a)
-        if 0 < per_iter < best:
-            best = per_iter
-    return batch / best
+        if per_iter > 0:  # tunnel hiccups can invert the two-point pair
+            samples.append(batch / per_iter)
+    if not samples:
+        raise RuntimeError("no valid two-point samples")
+    return _median_spread(samples)
 
 
-def measure_train(batch: int, repeats: int = 3) -> float:
+def measure_train(batch: int, repeats: int = 3) -> tuple[float, float]:
     """Chained train-step throughput (fwd + bwd + adamw + mixup), the
     reference's primary workload (engine.py:60-195) — same harness as
-    benchmarks/train_bench.py, same two-point timing as measure()."""
+    benchmarks/train_bench.py, same two-point timing as measure().
+    Returns (median img/s, relative spread)."""
     import optax
 
     from vil_tpu.data.mixup import make_mixup_fn
@@ -169,13 +185,15 @@ def measure_train(batch: int, repeats: int = 3) -> float:
 
     iters_a, iters_b = 3, 12
     timed(iters_a)  # compile + warmup
-    best = float("inf")
+    samples = []
     for _ in range(repeats):
         ta, tb = timed(iters_a), timed(iters_b)
         per = (tb - ta) / (iters_b - iters_a)
-        if 0 < per < best:
-            best = per
-    return batch / best
+        if per > 0:
+            samples.append(batch / per)
+    if not samples:
+        raise RuntimeError("no valid two-point samples")
+    return _median_spread(samples)
 
 
 def main():
@@ -190,8 +208,9 @@ def main():
 
     if "--sweep" in sys.argv:
         for batch in (64, 128, 256):
-            v = measure(batch)
-            print(f"batch {batch}: {v:.1f} img/s", flush=True)
+            v, spread = measure(batch)
+            print(f"batch {batch}: {v:.1f} img/s (spread {spread:.1%})",
+                  flush=True)
         return
 
     # compiled-kernel numerics evidence: fused Pallas fwd+VJP vs the XLA
@@ -221,7 +240,7 @@ def main():
     # batch sweep (r2, quiet machine): 64 → 5599, 128 → 5051, 256 → 4853
     # img/s; 64 wins for inference too (matches the training sweet spot)
     batch = 64
-    images_per_sec = measure(batch)
+    images_per_sec, spread = measure(batch)
     # achieved model FLOP/s (analytic 2·MACs, ops/flops.py) and MFU against
     # the chip's peak bf16 matmul rate — assumption-free, unlike vs_baseline
     tf_img = analytic_tflops_per_image()
@@ -231,11 +250,11 @@ def main():
     # training throughput in the same artifact (fwd+bwd+adamw+mixup): train
     # FLOPs ≈ 3× inference (backward ≈ 2× forward), so train MFU uses 3·tf_img
     try:
-        train_img_s = measure_train(batch)
+        train_img_s, train_spread = measure_train(batch)
         train_tflops = train_img_s * 3.0 * tf_img
     except Exception as e:  # never block the inference line
         print(f"train bench failed to run: {e!r}", file=__import__("sys").stderr)
-        train_img_s = train_tflops = None
+        train_img_s = train_tflops = train_spread = None
     print(
         json.dumps(
             {
@@ -251,10 +270,15 @@ def main():
                     " throughput)"
                 ),
                 "batch": batch,
+                "spread": round(spread, 4),
                 "tflops": round(tflops, 2),
                 "mfu": round(tflops / peak, 4),
                 "train_img_s": (
                     round(train_img_s, 2) if train_img_s else None
+                ),
+                "train_spread": (
+                    round(train_spread, 4)
+                    if train_spread is not None else None
                 ),
                 "train_mfu": (
                     round(train_tflops / peak, 4) if train_tflops else None

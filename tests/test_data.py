@@ -42,6 +42,120 @@ def test_eval_transform_shapes():
     )
 
 
+def test_eval_transform_rounding_math():
+    """PIXEL-parity guard for the eval path's size/rounding details
+    (reference build.py:105-110): precrop = int(IMAGE_SIZE/CROP_PCT);
+    short-side resize computes the long side as int(size*long/short)
+    (truncation, torchvision F.resize); center crop offsets are
+    int(round((dim-size)/2)) — a wrong rounding here silently shifts every
+    eval pixel and costs tenths of top-1. Asserted by composing the exact
+    PIL calls by hand and demanding byte-identical output."""
+    cfg = _cfg(224)
+    cfg.INPUT.INTERPOLATION = 2  # bilinear
+    t = build_transforms(cfg, is_train=False)
+    rng = np.random.default_rng(3)
+    # landscape 300×200 (w>h): precrop=int(224/0.875)=256 on the SHORT side
+    raw = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    img = Image.fromarray(raw)
+    out = t(img)
+    assert cfg.INPUT.CROP_PCT == 0.875 and int(224 / 0.875) == 256
+    # hand-composed torchvision math: oh=256, ow=int(256*300/200)=384
+    ref = img.resize((384, 256), Image.BILINEAR)
+    top = int(round((256 - 224) / 2.0))    # 16
+    left = int(round((384 - 224) / 2.0))   # 80
+    ref = ref.crop((left, top, left + 224, top + 224))
+    ref_arr = np.asarray(ref, dtype=np.float32) / 255.0
+    mean = np.asarray(cfg.INPUT.MEAN, np.float32)
+    std = np.asarray(cfg.INPUT.STD, np.float32)
+    np.testing.assert_allclose(out, (ref_arr - mean) / std, atol=1e-6)
+
+    # portrait + ODD crop residue (height 255 → 255-224=31, round(15.5)=16
+    # exercises banker's-vs-arithmetic rounding: torchvision uses
+    # int(round(...)) which is round-half-even in py3 → 16)
+    raw2 = rng.integers(0, 255, (300, 200, 3), dtype=np.uint8)
+    img2 = Image.fromarray(raw2)
+    out2 = build_transforms(cfg, is_train=False)(img2)
+    ref2 = img2.resize((256, int(256 * 300 / 200)), Image.BILINEAR)  # (256,384)
+    top2 = int(round((384 - 224) / 2.0))
+    left2 = int(round((256 - 224) / 2.0))
+    ref2 = ref2.crop((left2, top2, left2 + 224, top2 + 224))
+    ref2_arr = np.asarray(ref2, dtype=np.float32) / 255.0
+    np.testing.assert_allclose(out2, (ref2_arr - mean) / std, atol=1e-6)
+
+    # short side ALREADY at precrop → resize is a no-op (torchvision's
+    # early-out), crop only
+    raw3 = rng.integers(0, 255, (256, 320, 3), dtype=np.uint8)
+    out3 = build_transforms(cfg, is_train=False)(Image.fromarray(raw3))
+    ref3 = raw3[16 : 16 + 224, 48 : 48 + 224].astype(np.float32) / 255.0
+    np.testing.assert_allclose(out3, (ref3 - mean) / std, atol=1e-6)
+
+
+def test_eval_interpolation_code_selects_pil_filter():
+    """INPUT.INTERPOLATION uses PIL codes (2=bilinear, 3=bicubic — the
+    reference passes the int straight to torchvision, build.py:105). The
+    code must select the matching PIL filter exactly, and the two filters
+    must actually differ on a non-trivial image."""
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    img = Image.fromarray(raw)
+    outs = {}
+    for code, pil_filter in [(2, Image.BILINEAR), (3, Image.BICUBIC)]:
+        cfg = _cfg(64)
+        cfg.INPUT.INTERPOLATION = code
+        out = build_transforms(cfg, is_train=False)(img)
+        precrop = int(64 / cfg.INPUT.CROP_PCT)  # 73
+        ref = img.resize((int(precrop * 300 / 200), precrop), pil_filter)
+        w, h = ref.size
+        top, left = int(round((h - 64) / 2.0)), int(round((w - 64) / 2.0))
+        ref_arr = (
+            np.asarray(ref.crop((left, top, left + 64, top + 64)), np.float32)
+            / 255.0
+        )
+        mean = np.asarray(cfg.INPUT.MEAN, np.float32)
+        std = np.asarray(cfg.INPUT.STD, np.float32)
+        np.testing.assert_allclose(out, (ref_arr - mean) / std, atol=1e-6)
+        outs[code] = out
+    assert np.abs(outs[2] - outs[3]).max() > 1e-3
+
+
+def test_eval_resize_pixels_vs_torch_antialias_oracle():
+    """INDEPENDENT oracle for the interpolation itself: torch
+    F.interpolate(antialias=True) was implemented to match PIL's
+    antialiased resampling (the torchvision tensor backend). A missing
+    antialias filter, a wrong kernel, or an align-corners bug would blow
+    far past the uint8-rounding band (PIL rounds to uint8 at output;
+    observed max diff vs torch ≲2/255)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 255, (200, 300, 3), dtype=np.uint8)
+    img = Image.fromarray(raw)
+    for code, mode in [(2, "bilinear"), (3, "bicubic")]:
+        ours = np.asarray(
+            img.resize((384, 256), {2: Image.BILINEAR, 3: Image.BICUBIC}[code]),
+            dtype=np.float32,
+        ) / 255.0
+        x = torch.from_numpy(raw.astype(np.float32) / 255.0)
+        x = x.permute(2, 0, 1)[None]  # NCHW
+        ref = F.interpolate(
+            x, size=(256, 384), mode=mode, antialias=True,
+            align_corners=False,
+        )[0].permute(1, 2, 0).numpy()
+        if mode == "bicubic":
+            # PIL clamps to uint8; torch bicubic rings — and the kernels
+            # use different a (PIL −0.5, torch −0.75), visible only on
+            # high-frequency noise: bound the distribution, not the max
+            ref = np.clip(ref, 0.0, 1.0)
+            d = np.abs(ours - ref)
+            assert d.mean() < 3e-3 and np.quantile(d, 0.99) < 1e-2, (
+                mode, d.mean(), np.quantile(d, 0.99)
+            )
+        else:
+            err = np.abs(ours - ref).max()
+            assert err < 2.5 / 255.0, (mode, err)
+
+
 def test_train_transform_shapes():
     cfg = _cfg(32)
     t = build_transforms(cfg, is_train=True)

@@ -572,6 +572,79 @@ def test_tiled_full_attention_backward_kernel(H, tile_q):
         )
 
 
+@pytest.mark.parametrize("H,tile_q", [(2, 8), (3, 4)])
+def test_tiled_full_attention_biased(monkeypatch, H, tile_q):
+    """The BIASED q-tiled tier (r5): the (H, N, N) RPE bias stays in HBM and
+    streams as (H, TQ, N) row tiles through both the forward and the fused
+    backward; dbias comes from per-batch partial dS tensors summed XLA-side
+    (the in-kernel batch accumulation the whole-image kernel uses is
+    impossible here — the dbias block index varies in the inner grid
+    coordinate). Forward, grads, and dbias must match the XLA reference at a
+    ragged N (padded query rows contribute exactly zero via the +1e9 LSE
+    pad), kernel-level AND through the fused dispatcher."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    B, N, M = 2, 13, 8
+    C = H * M
+    ks = jax.random.split(jax.random.PRNGKey(33), 5)
+    q = jax.random.normal(ks[0], (B, N, C)) * 0.5
+    k = jax.random.normal(ks[1], (B, N, C)) * 0.5
+    v = jax.random.normal(ks[2], (B, N, C))
+    g = jax.random.normal(ks[3], (B, N, C))
+    bias = jax.random.normal(ks[4], (H, N, N)) * 0.3
+
+    out, lse = fa._pallas_forward_tiled(
+        q, k, v, H, bias=bias, interpret=True, with_lse=True, tile_q=tile_q
+    )
+    out_x, vjp = jax.vjp(
+        lambda q, k, v, b: fa._xla_reference(q, k, v, b, H), q, k, v, bias
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )
+    # biased forward must agree with the whole-image kernel's LSE too
+    _, lse_w = fa._pallas_forward(q, k, v, bias, H, interpret=True,
+                                  with_lse=True)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(lse_w), atol=1e-5, rtol=1e-5
+    )
+    dq, dk, dv, dbias = fa._pallas_backward_tiled(
+        q, k, v, g, lse, H, bias=bias, interpret=True, tile_q=tile_q
+    )
+    for name, a, b in zip(
+        ["dq", "dk", "dv", "dbias"], (dq, dk, dv, dbias), vjp(g)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
+        )
+
+    # through the dispatcher: force the tiled tier (whole-image budget → 0)
+    monkeypatch.setattr(fa, "VMEM_BUDGET_BYTES", 0)
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    fused = fa.make_fused_full_attention(H)
+    out_d, vjp_d = jax.vjp(lambda *a: fused(*a), q, k, v, bias)
+    np.testing.assert_allclose(
+        np.asarray(out_d), np.asarray(out_x), atol=1e-5, rtol=1e-5
+    )
+    for name, a, b in zip(["dq", "dk", "dv", "dbias"], vjp_d(g), vjp(g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
+        )
+
+
+def test_tiled_bwd_hbm_guard():
+    """supported_bwd_tiled falls back (False) when the biased per-batch
+    dbias partials would exceed the transient-HBM ceiling."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    # N=4097, H=8, C=512: biased tiled bwd fits VMEM at B=4 (≈2.1 GB
+    # partials) but not at B=8 (≈4.2 GB > 3 GB ceiling)
+    assert fa.supported_bwd_tiled(4, 4097, 512, 8, True)
+    assert not fa.supported_bwd_tiled(8, 4097, 512, 8, True)
+    # bias-free is B-independent
+    assert fa.supported_bwd_tiled(8, 4097, 512, 8, False)
+
+
 @pytest.mark.parametrize("with_bias,H", [(False, 2), (True, 3)])
 def test_fused_full_attention_backward_kernel(monkeypatch, with_bias, H):
     """The fused full-attention BACKWARD kernel (r3: LSE-stashed forward,

@@ -319,36 +319,53 @@ def run_smoke(verbose: bool = True) -> dict:
             f"grad err {e_grad_f:.2e} -> {'PASS' if passed_f else 'FAIL'}",
             file=sys.stderr,
         )
-    # q-TILED dense forward (the huge-N s=0 tier, r4): compiled parity vs
-    # the XLA reference at a ragged N that exercises query padding + the
-    # resident-K/V row-constant blocks
+    # q-TILED dense tier (the huge-N s=0 tier, r4; biased + fused backward
+    # r5): compiled fwd AND backward parity vs the XLA reference at a
+    # ragged N that exercises query padding + the resident-K/V row-constant
+    # blocks + the streamed bias tiles + the per-batch dbias partials.
+    # Inputs at the same tamed 0.25 scale as the other cases (unit-scale
+    # bf16 inputs made score rounding dominate — the r4 smoke needed a
+    # 5e-2 tolerance for what was purely input-magnitude noise).
     Bt, Nt, Ht, Mt = 2, 135, 4, 32
     Ct = Ht * Mt
-    kst = jax.random.split(jax.random.PRNGKey(11), 3)
-    qt = jax.random.normal(kst[0], (Bt, Nt, Ct), jnp.bfloat16)
-    kt = jax.random.normal(kst[1], (Bt, Nt, Ct), jnp.bfloat16)
-    vt = jax.random.normal(kst[2], (Bt, Nt, Ct), jnp.bfloat16)
+    kst = jax.random.split(jax.random.PRNGKey(11), 5)
+    qt, kt, vt, gt = (
+        (jax.random.normal(kst[i], (Bt, Nt, Ct), jnp.float32) * scale).astype(
+            jnp.bfloat16
+        )
+        for i in range(4)
+    )
+    bias_t = jax.random.normal(kst[4], (Ht, Nt, Nt), jnp.float32) * 0.3
 
     @jax.jit
-    def fa_tiled_pair(q, k, v):
-        ot = fa_mod._pallas_forward_tiled(q, k, v, Ht, tile_q=64)
-        oxr = fa_mod._xla_reference(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            v.astype(jnp.float32), None, Ht,
+    def fa_tiled_pair(q, k, v, g, bias):
+        ot, lse = fa_mod._pallas_forward_tiled(
+            q, k, v, Ht, bias=bias, tile_q=64, with_lse=True
         )
-        return ot, oxr
+        grads_t = fa_mod._pallas_backward_tiled(
+            q, k, v, g, lse, Ht, bias=bias, tile_q=64
+        )
+        oxr, vjp = jax.vjp(
+            lambda q, k, v, b: fa_mod._xla_reference(q, k, v, b, Ht),
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), bias,
+        )
+        return ot, oxr, grads_t, vjp(g.astype(jnp.float32))
 
-    ot, oxr = fa_tiled_pair(qt, kt, vt)
+    ot, oxr, grads_t, grads_x = fa_tiled_pair(qt, kt, vt, gt, bias_t)
     e_tiled = _max_err(ot, oxr)
-    passed_t = e_tiled <= 5e-2
+    e_tiled_g = max(_max_err(a, b) for a, b in zip(grads_t, grads_x))
+    passed_t = e_tiled <= 6e-3 and e_tiled_g <= 5e-2  # bf16-vs-f32 band
     ok &= passed_t
     results["full_attn_tiled"] = {
-        "fwd_max_err": round(e_tiled, 6), "pass": passed_t,
+        "fwd_max_err": round(e_tiled, 6),
+        "grad_max_err": round(e_tiled_g, 6),
+        "pass": passed_t,
     }
     if verbose:
         print(
-            f"kernel smoke [full_attn_tiled] fwd err {e_tiled:.2e} -> "
-            f"{'PASS' if passed_t else 'FAIL'}",
+            f"kernel smoke [full_attn_tiled] fwd err {e_tiled:.2e} "
+            f"grad err {e_tiled_g:.2e} -> {'PASS' if passed_t else 'FAIL'}",
             file=sys.stderr,
         )
     results["ok"] = ok

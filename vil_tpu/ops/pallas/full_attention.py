@@ -55,8 +55,9 @@ VMEM_BUDGET_BYTES = 56 * 2**20
 
 # the BIASED backward carries two extra (H, N, N) f32 tensors (bias +
 # resident dbias accumulator), which pushed every RPE model at 384² stage-3
-# shapes past the 56 MB budget; its pallas_call raises the scope to 96 MB
-# (the q-tiled tier already runs at 100 MB on the 128 MB v5e VMEM) so e.g.
+# shapes past the 56 MB budget; supported_bwd compares biased estimates
+# against this and _pallas_backward raises the Mosaic scope to 96 MB (the
+# q-tiled tier already runs at 100 MB on the 128 MB v5e VMEM) so e.g.
 # H=8/C=512 and H=6/C=384 @ N=577 engage. H=12/C=768 (base_wide) still
 # estimates ~108 MB and keeps the XLA-recompute fallback.
 BIASED_BWD_VMEM_BUDGET_BYTES = 84 * 2**20
@@ -167,7 +168,7 @@ def _pallas_forward(
     )(*operands)
 
 
-def _tiled_kernel(num_heads: int, with_lse: bool, *refs):
+def _tiled_kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
     """Q-TILED forward body (grid (B, Npad/TQ)) for sequences too long for
     the whole-image kernel (the s=0 stages at huge resolutions: 1024² stage 3
     is N=4097 — the XLA fallback there round-trips (B, H, N, N) f32 score
@@ -177,12 +178,17 @@ def _tiled_kernel(num_heads: int, with_lse: bool, *refs):
     only in VMEM with single-pass max-subtracted softmax and deferred
     normalization. Padded QUERY rows (Npad = ceil(N/TQ)·TQ) produce garbage
     rows the caller slices off; keys are never padded so no masking is
-    needed. Bias is unsupported in this tier (an (H, N, N) table at N=4097
-    would be ~800 MB). refs: [q_tile, k, v, out_tile, (lse_tile)?]."""
+    needed. RPE bias (r5): the (H, N, N) table stays in HBM and streams as
+    (H, TQ, N) row tiles alongside Q (index constant in the batch
+    coordinate — shared across images). refs: [q_tile, k, v, (bias_tile)?,
+    out_tile, (lse_tile)?]."""
     i = 0
     q_ref = refs[i]; i += 1
     k_ref = refs[i]; i += 1
     v_ref = refs[i]; i += 1
+    bias_ref = None
+    if has_bias:
+        bias_ref = refs[i]; i += 1
     out_ref = refs[i]; i += 1
     lse_ref = refs[i] if with_lse else None
 
@@ -198,6 +204,8 @@ def _tiled_kernel(num_heads: int, with_lse: bool, *refs):
             q_h, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
+        if bias_ref is not None:
+            scores = scores + bias_ref[h]
         m = jnp.max(scores, axis=-1, keepdims=True)
         probs = jnp.exp(scores - m).astype(q_h.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
@@ -214,32 +222,42 @@ def _tiled_kernel(num_heads: int, with_lse: bool, *refs):
 def _env_tile(name: str, N: int) -> Optional[int]:
     """Tile-size override for sweeps: ``VIL_TPU_DENSE_TILE_Q[_BWD]`` is
     either a bare int (applies to every dense-tiled stage) or a
-    comma-separated ``N:tq`` map (e.g. ``4097:64,1025:256``) so each s=0
-    stage can be swept independently. No VMEM check — sweep values must fit
-    the raised scope or Mosaic rejects the kernel."""
+    comma-separated ``N:tq`` map (e.g. ``4097:64,1025:256``), optionally
+    mixed with one bare default (exact ``N:tq`` matches win over the bare
+    default regardless of order). No VMEM check — sweep values must fit
+    the raised scope or Mosaic rejects the kernel. Read at TRACE time: the
+    jit cache does not key on the env var, so sweeps must use one process
+    per setting (tools/tpu_ab_queue.sh does)."""
     v = os.environ.get(name, "")
     if not v:
         return None
+    default = None
     for part in v.split(","):
+        part = part.strip()
+        if not part:
+            continue
         if ":" in part:
             n, t = part.split(":")
             if int(n) == N:
                 return int(t)
         else:
-            return int(part)
-    return None
+            default = int(part)
+    return default
 
 
-def _pick_tile_q(N: int, C: int, num_heads: int) -> Optional[int]:
+def _pick_tile_q(N: int, C: int, num_heads: int,
+                 has_bias: bool = False) -> Optional[int]:
     """Largest query tile whose VMEM estimate fits the raised (100 MB −
     margin) scope: K/V resident (×2 buffers) + per-head (TQ, N) f32+bf16
     score temporaries ×num_heads (static head unroll — Mosaic keeps every
-    head's stack slots live, vil_kernel's row-unroll lesson)."""
+    head's stack slots live, vil_kernel's row-unroll lesson) + the
+    streamed (H, TQ, N) f32 bias tile when biased."""
     for tq in (512, 256, 128, 64, 32):
         est = (
             2 * 2 * N * C * 2        # k, v resident ×2 pipeline buffers
             + 2 * 2 * tq * C * 2     # q, out tiles ×2 buffers
             + num_heads * 8 * tq * N  # scores f32 + probs bf16 + temps
+            + (num_heads * 2 * tq * N * 4 if has_bias else 0)  # bias ×2
         )
         if est <= TILED_VMEM_BUDGET_BYTES:
             return tq
@@ -252,25 +270,38 @@ def _pallas_forward_tiled(
     v: jax.Array,
     num_heads: int,
     *,
+    bias: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
     with_lse: bool = False,
     tile_q: Optional[int] = None,
 ):
-    """Q-tiled dense forward (no bias). q, k, v: (B, N, C), q pre-scaled.
+    """Q-tiled dense forward. q, k, v: (B, N, C), q pre-scaled; bias
+    (H, N, N) f32 or None — kept in HBM, streamed as (H, TQ, N) row tiles.
     Returns (B, N, C) (+ lse (B, H, N) f32 with ``with_lse``)."""
     B, N, C = q.shape
+    has_bias = bias is not None
     if interpret is None:
         interpret = INTERPRET
     tq = (tile_q or _env_tile("VIL_TPU_DENSE_TILE_Q", N)
-          or _pick_tile_q(N, C, num_heads))
+          or _pick_tile_q(N, C, num_heads, has_bias))
     npad = -(-N // tq) * tq
     if npad != N:
         q = jnp.pad(q, ((0, 0), (0, npad - N), (0, 0)))
+        if has_bias:
+            bias = jnp.pad(bias, ((0, 0), (0, npad - N), (0, 0)))
 
     tile = pl.BlockSpec((1, tq, C), lambda b, i: (b, i, 0),
                         memory_space=pltpu.VMEM)
     kv = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
                       memory_space=pltpu.VMEM)
+    in_specs = [tile, kv, kv]
+    operands = [q, k, v]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (num_heads, tq, N), lambda b, i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(bias.astype(_score_dtype(q.dtype)))
     out_specs = tile
     out_shape = jax.ShapeDtypeStruct((B, npad, C), q.dtype)
     if with_lse:
@@ -283,9 +314,9 @@ def _pallas_forward_tiled(
             jax.ShapeDtypeStruct((B, num_heads, npad), jnp.float32),
         ]
     res = pl.pallas_call(
-        functools.partial(_tiled_kernel, num_heads, with_lse),
+        functools.partial(_tiled_kernel, num_heads, has_bias, with_lse),
         grid=(B, npad // tq),
-        in_specs=[tile, kv, kv],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -297,14 +328,14 @@ def _pallas_forward_tiled(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
     if with_lse:
         out, lse = res
         return out[:, :N], lse[..., :N]
     return res[:, :N]
 
 
-def _tiled_bwd_kernel(num_heads: int, *refs):
+def _tiled_bwd_kernel(num_heads: int, has_bias: bool, *refs):
     """Q-TILED fused backward body (grid (B, Npad/TQ)), the train-path twin
     of _tiled_kernel: K/V stay VMEM-resident; per q-tile and head it
     recomputes P = exp(S − lse) in ONE pass (no max/sum), then
@@ -312,11 +343,29 @@ def _tiled_bwd_kernel(num_heads: int, *refs):
     dK += dSᵀ·q, dV += Pᵀ·g into f32 whole-sequence output blocks whose
     index maps are constant in the tile coordinate (Pallas keeps them
     resident across the image's tiles and writes back once). Padded query
-    rows are exact no-ops: q/g/lse pad with zeros → dS = 0 and g-rows = 0,
-    so their dK/dV contributions vanish and their dq rows are sliced off.
-    Bias unsupported (tier is bias-free). refs: [q_tile, k, v, g_tile,
-    lse_tile, dq_tile, dk, dv]."""
-    (q_ref, k_ref, v_ref, g_ref, lse_ref, dq_ref, dk_ref, dv_ref) = refs
+    rows are exact no-ops: q/g pad with zeros and lse with +1e9 → P = 0 and
+    dS = 0, so their dK/dV/dbias contributions vanish and their dq rows are
+    sliced off. RPE bias (r5): the (H, N, N) table streams in as (H, TQ, N)
+    row tiles for the S recompute; dbias cannot accumulate across the batch
+    in-kernel (its block index varies in the INNER grid coordinate, so
+    Pallas revisits would be non-consecutive) — instead each (b, iq) step
+    writes its (H, TQ, N) dS tile ONCE into a per-batch partial tensor
+    (B, H, Npad, N) f32 and the caller sums over B XLA-side.
+    refs: [q_tile, k, v, g_tile, lse_tile, (bias_tile)?, dq_tile, dk, dv,
+    (dbias_tile)?]."""
+    i = 0
+    q_ref = refs[i]; i += 1
+    k_ref = refs[i]; i += 1
+    v_ref = refs[i]; i += 1
+    g_ref = refs[i]; i += 1
+    lse_ref = refs[i]; i += 1
+    bias_ref = None
+    if has_bias:
+        bias_ref = refs[i]; i += 1
+    dq_ref = refs[i]; i += 1
+    dk_ref = refs[i]; i += 1
+    dv_ref = refs[i]; i += 1
+    dbias_ref = refs[i] if has_bias else None
     iq = pl.program_id(1)
 
     @pl.when(iq == 0)
@@ -339,6 +388,8 @@ def _tiled_bwd_kernel(num_heads: int, *refs):
             q_h, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
+        if bias_ref is not None:
+            s = s + bias_ref[h]
         p = jnp.exp(s - lse_ref[0, h][:, None]).astype(q_h.dtype)
         dp = jax.lax.dot_general(
             g_h, v_h, (((1,), (1,)), ((), ())),
@@ -347,7 +398,10 @@ def _tiled_bwd_kernel(num_heads: int, *refs):
         delta = jnp.sum(
             p.astype(jnp.float32) * dp, axis=-1, keepdims=True
         )
-        ds = (p.astype(jnp.float32) * (dp - delta)).astype(q_h.dtype)
+        ds_f32 = p.astype(jnp.float32) * (dp - delta)
+        if dbias_ref is not None:
+            dbias_ref[0, h] = ds_f32
+        ds = ds_f32.astype(q_h.dtype)
         dqs.append(jax.lax.dot_general(
             ds, k_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -363,43 +417,69 @@ def _tiled_bwd_kernel(num_heads: int, *refs):
     dq_ref[0] = jnp.concatenate(dqs, axis=-1)
 
 
-def _pick_tile_q_bwd(N: int, C: int, num_heads: int) -> Optional[int]:
+def _pick_tile_q_bwd(N: int, C: int, num_heads: int,
+                     has_bias: bool = False) -> Optional[int]:
     """Backward tile size: K/V + f32 dK/dV resident (×2 buffers) + per-head
-    S/P/dP/dS/δ temporaries (~16 B per score element, ×num_heads unrolled)."""
+    S/P/dP/dS/δ temporaries (~16 B per score element, ×num_heads unrolled)
+    + streamed f32 bias-in and dbias-out tiles (×2 buffers each) when
+    biased."""
     for tq in (256, 128, 64, 32):
         est = (
             2 * 2 * N * C * 2        # k, v resident ×2 buffers
             + 2 * 2 * N * C * 4      # dk, dv f32 resident ×2 buffers
             + 6 * 2 * tq * C * 2     # q, g, dq tiles ×2 buffers
             + num_heads * 16 * tq * N
+            + (num_heads * 4 * tq * N * 4 if has_bias else 0)
         )
         if est <= TILED_VMEM_BUDGET_BYTES:
             return tq
     return None
 
 
+# HBM ceiling for the biased tiled backward's per-batch dbias partials
+# (B, H, Npad, N) f32 — at 1024² stage 3 (B=4, H=8, N=4097) that is ~2.1 GB
+# of transient HBM on a 16 GB chip; past this, fall back to XLA recompute
+# rather than risk an OOM inside the train step.
+DBIAS_PARTIAL_HBM_BUDGET_BYTES = 3 * 2**30
+
+
 def supported_bwd_tiled(B: int, N: int, C: int, num_heads: int,
                         has_bias: bool) -> bool:
-    return not has_bias and _pick_tile_q_bwd(N, C, num_heads) is not None
+    if _pick_tile_q_bwd(N, C, num_heads, has_bias) is None:
+        return False
+    if has_bias:
+        tq = _pick_tile_q_bwd(N, C, num_heads, True)
+        npad = -(-N // tq) * tq
+        if B * num_heads * npad * N * 4 > DBIAS_PARTIAL_HBM_BUDGET_BYTES:
+            return False
+    return True
 
 
 def _pallas_backward_tiled(
     q: jax.Array, k: jax.Array, v: jax.Array, g: jax.Array, lse: jax.Array,
-    num_heads: int, *, interpret: Optional[bool] = None,
-    tile_q: Optional[int] = None,
+    num_heads: int, *, bias: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None, tile_q: Optional[int] = None,
 ):
-    """Tiled dense backward (no bias): q/k/v/g (B, N, C), lse (B, H, N) from
-    the tiled forward. Returns (dq, dk, dv) in q's dtype."""
+    """Tiled dense backward: q/k/v/g (B, N, C), lse (B, H, N) from the tiled
+    forward, bias (H, N, N) f32 or None. Returns (dq, dk, dv) in q's dtype,
+    plus dbias (H, N, N) f32 (summed over the batch XLA-side from the
+    kernel's per-batch partials) when biased."""
     B, N, C = q.shape
+    has_bias = bias is not None
     if interpret is None:
         interpret = INTERPRET
     tq = (tile_q or _env_tile("VIL_TPU_DENSE_TILE_Q_BWD", N)
-          or _pick_tile_q_bwd(N, C, num_heads))
+          or _pick_tile_q_bwd(N, C, num_heads, has_bias))
     npad = -(-N // tq) * tq
     if npad != N:
         pad = ((0, 0), (0, npad - N), (0, 0))
         q, g = jnp.pad(q, pad), jnp.pad(g, pad)
-        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, npad - N)))
+        # +1e9 (not 0): padded rows must give P = exp(S − lse) = 0 so the
+        # biased S (= bias at q=0) can never contribute to dV via P
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, npad - N)),
+                      constant_values=1e9)
+        if has_bias:
+            bias = jnp.pad(bias, ((0, 0), (0, npad - N), (0, 0)))
 
     tile = pl.BlockSpec((1, tq, C), lambda b, i: (b, i, 0),
                         memory_space=pltpu.VMEM)
@@ -407,16 +487,33 @@ def _pallas_backward_tiled(
                       memory_space=pltpu.VMEM)
     lse_spec = pl.BlockSpec((1, num_heads, tq), lambda b, i: (b, 0, i),
                             memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_tiled_bwd_kernel, num_heads),
+    in_specs = [tile, kv, kv, tile, lse_spec]
+    operands = [q, k, v, g, lse]
+    out_specs = [tile, kv, kv]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, npad, C), q.dtype),
+        jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+    ]
+    if has_bias:
+        in_specs.append(pl.BlockSpec(
+            (num_heads, tq, N), lambda b, i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(bias.astype(_score_dtype(q.dtype)))
+        out_specs.append(pl.BlockSpec(
+            (1, num_heads, tq, N), lambda b, i: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, num_heads, npad, N), jnp.float32)
+        )
+    res = pl.pallas_call(
+        functools.partial(_tiled_bwd_kernel, num_heads, has_bias),
         grid=(B, npad // tq),
-        in_specs=[tile, kv, kv, tile, lse_spec],
-        out_specs=[tile, kv, kv],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, npad, C), q.dtype),
-            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, C), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=10 * B * npad * N * C,
             bytes_accessed=8 * q.size * q.dtype.itemsize,
@@ -426,8 +523,13 @@ def _pallas_backward_tiled(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(q, k, v, g, lse)
-    return dq[:, :N], dk.astype(q.dtype), dv.astype(q.dtype)
+    )(*operands)
+    dq, dk, dv = res[:3]
+    out = (dq[:, :N], dk.astype(q.dtype), dv.astype(q.dtype))
+    if has_bias:
+        dbias = res[3].sum(axis=0)[:, :N, :]
+        return out + (dbias,)
+    return out
 
 
 def _bwd_kernel(num_heads: int, has_bias: bool, *refs):
@@ -559,7 +661,10 @@ def _pallas_backward(
             transcendentals=B * num_heads * N * N,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            # biased shapes carry the (H, N, N) bias + resident dbias
+            # accumulator past 64 MB (supported_bwd gates on the 84 MB
+            # biased budget)
+            vmem_limit_bytes=(96 if has_bias else 64) * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
@@ -601,11 +706,11 @@ def supported(B: int, N: int, C: int, num_heads: int, has_bias: bool) -> bool:
 
 def supported_tiled(B: int, N: int, C: int, num_heads: int,
                     has_bias: bool) -> bool:
-    """True when the q-tiled forward tier applies: bias-free (an (H, N, N)
-    bias at these N would not fit anything) and some tile size fits the
+    """True when the q-tiled forward tier applies: some tile size fits the
     raised scope. The dispatcher tries ``supported`` first — this tier is
-    the huge-N escape (1024² s=0 stages: N=4097 / N=1025)."""
-    return not has_bias and _pick_tile_q(N, C, num_heads) is not None
+    the huge-N escape (1024² s=0 stages: N=4097 / N=1025). Biased shapes
+    (r5) stream the (H, N, N) bias from HBM as (H, TQ, N) row tiles."""
+    return _pick_tile_q(N, C, num_heads, has_bias) is not None
 
 
 def supported_bwd(B: int, N: int, C: int, num_heads: int,
@@ -615,18 +720,18 @@ def supported_bwd(B: int, N: int, C: int, num_heads: int,
     ×num_heads; with bias both the bias and the resident dbias accumulator
     are full (H, N, N) f32 tensors).
 
-    Known limit: at the 384² stage-3 shape (N=577, H=8) the BIASED estimate
-    is ~67 MB > the 56 MB budget, so RPE models at that size fall back to
-    XLA recompute and only bias-free (APE) shapes get the fused backward.
-    Tightening the 16 B/elt per-head term (bf16 dS) is an open measured-A/B
-    item — see docs/ROADMAP.md."""
+    Biased estimates compare against the raised BIASED_BWD_VMEM_BUDGET_BYTES
+    (its pallas_call runs at a 96 MB Mosaic scope) so e.g. H=8/C=512 and
+    H=6/C=384 RPE shapes @ N=577 engage; H=12/C=768 (base_wide) still
+    estimates ~108 MB and keeps the XLA-recompute fallback."""
     itemsize = 2
     est = (
         7 * 2 * N * C * itemsize  # q, k, v, g, dq, dk, dv ×2 buffers
         + (2 * num_heads * N * N * 4 if has_bias else 0)  # bias + dbias
         + num_heads * 16 * N * N
     )
-    return est <= VMEM_BUDGET_BYTES
+    budget = BIASED_BWD_VMEM_BUDGET_BYTES if has_bias else VMEM_BUDGET_BYTES
+    return est <= budget
 
 
 def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
@@ -638,13 +743,13 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
 
     def _forward(q, k, v, bias, with_lse=False):
         """Tier choice: whole-image kernel when it fits, else the q-tiled
-        kernel (bias-free huge N), else the XLA reference."""
+        kernel (huge N, bias streamed), else the XLA reference."""
         B, N, C = q.shape
         if supported(B, N, C, num_heads, bias is not None):
             return _pallas_forward(q, k, v, bias, num_heads,
                                    with_lse=with_lse)
         if supported_tiled(B, N, C, num_heads, bias is not None):
-            return _pallas_forward_tiled(q, k, v, num_heads,
+            return _pallas_forward_tiled(q, k, v, num_heads, bias=bias,
                                          with_lse=with_lse)
         out = _xla_reference(q, k, v, bias, num_heads)
         return (out, None) if with_lse else out
@@ -679,7 +784,7 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
             return out, (q, k, v, bias, lse)
         if tiled_bwd:
             out, lse = _pallas_forward_tiled(
-                q, k, v, num_heads, with_lse=True
+                q, k, v, num_heads, bias=bias, with_lse=True
             )
             return out, (q, k, v, bias, lse)
         out = (
@@ -702,8 +807,12 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
                     grads[3].astype(bias.dtype) if bias is not None else None
                 )
                 return dq, dk, dv, dbias
-            dq, dk, dv = _pallas_backward_tiled(q, k, v, g, lse, num_heads)
-            return dq, dk, dv, None
+            grads = _pallas_backward_tiled(
+                q, k, v, g, lse, num_heads, bias=bias
+            )
+            dq, dk, dv = grads[:3]
+            dbias = grads[3].astype(bias.dtype) if bias is not None else None
+            return dq, dk, dv, dbias
 
         diff_args = tuple(a for a in (q, k, v, bias) if a is not None)
 
