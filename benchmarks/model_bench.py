@@ -27,13 +27,28 @@ def main():
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--iters", type=int, nargs=2, default=(4, 12),
                     metavar=("A", "B"))
+    ap.add_argument("--rpe", action="store_true",
+                    help="relative position encoding (a0 on every stage)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize axon "
+                         "plugin ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vil_tpu.models import ARCH_ZOO, MsViT
 
     on_tpu = jax.default_backend() == "tpu"
+    arch = ARCH_ZOO[args.arch]
+    if args.rpe:
+        import re
+
+        arch = "_".join(
+            re.sub(r"a\d+", "a0", s) if ",a" in s else s + ",a0"
+            for s in arch.split("_")
+        )
     model = MsViT(
-        arch=ARCH_ZOO[args.arch], img_size=args.img, num_classes=1000,
+        arch=arch, img_size=args.img, num_classes=1000,
         attn_type="longformerhand", sharew=True, norm_embed=True,
         dtype=jnp.float32 if args.f32 or not on_tpu else jnp.bfloat16,
         use_pallas=on_tpu and not args.no_pallas,

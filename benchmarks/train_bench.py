@@ -52,7 +52,26 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a device trace of ia chained steps and "
                          "print the per-op anatomy (tools/xplane.py)")
+    ap.add_argument("--rpe", action="store_true",
+                    help="relative position encoding (a0 on every stage — "
+                         "rpe = not ape, arch.py:40)")
+    ap.add_argument("--data-backend", choices=["none", "thread", "grain"],
+                    default="none",
+                    help="feed the train step from a REAL input pipeline "
+                         "(data_bench's synthetic-JPEG ZIP dataset) instead "
+                         "of a fixed on-device batch — end-to-end "
+                         "loader→host→device→step throughput")
+    ap.add_argument("--data-workers", type=int, default=8,
+                    help="loader workers for --data-backend")
+    ap.add_argument("--data-steps", type=int, default=40,
+                    help="measured steps for --data-backend (plus warmup)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize axon "
+                         "plugin ignores JAX_PLATFORMS — this is the only "
+                         "way to keep a local smoke off the TPU tunnel)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if args.pair != "auto":
         from vil_tpu.ops.pallas import vil_backward
@@ -65,8 +84,16 @@ def main():
     from vil_tpu.train.loss import soft_target_cross_entropy, cross_entropy
 
     on_tpu = jax.default_backend() == "tpu"
+    arch = ARCH_ZOO[args.arch]
+    if args.rpe:
+        import re
+
+        arch = "_".join(
+            re.sub(r"a\d+", "a0", s) if ",a" in s else s + ",a0"
+            for s in arch.split("_")
+        )
     model = MsViT(
-        arch=ARCH_ZOO[args.arch],
+        arch=arch,
         img_size=args.img,
         num_classes=1000,
         attn_type="longformerhand",
@@ -108,6 +135,10 @@ def main():
         random_shift=args.random_shift, mixup_fn=mixup_fn,
     )
     rng = jax.random.PRNGKey(3)
+
+    if args.data_backend != "none":
+        _run_data_fed(args, model, state, train_step, rng)
+        return
 
     @jax.jit
     def run(state, iters):
@@ -163,6 +194,82 @@ def main():
         f"pallas={not args.no_pallas} mixup={not args.no_mixup} "
         f"random_shift={args.random_shift} fused_ln={args.fused_ln}: "
         f"{best * 1e3:.2f} ms/step = {args.batch / best:.1f} img/s"
+    )
+
+
+def _run_data_fed(args, model, state, train_step, rng):
+    """END-TO-END train loop through a REAL input pipeline: loader (thread
+    or Grain process backend) → uint8 host batches (DEVICE_NORMALIZE — 4×
+    smaller host→device transfers; the model folds (x/255−mean)/std into
+    PatchEmbed) → async-dispatched jitted train steps. This is the
+    demonstration the r4 verdict asked for: the Grain escape hatch feeding
+    a real train step, at whatever rate this host's cores allow, with the
+    scaling model printed alongside."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from data_bench import generate_zip
+
+    from vil_tpu.config import get_default_cfg
+    from vil_tpu.data.datasets import ZipData
+    from vil_tpu.data.loader import DataLoader
+    from vil_tpu.data.samplers import make_data_sampler
+    from vil_tpu.data.transforms import build_transforms
+
+    root = "/tmp/vil_data_bench"
+    os.makedirs(root, exist_ok=True)
+    zpath, mpath = generate_zip(root, 1024, 256)
+    cfg = get_default_cfg()
+    cfg.INPUT.IMAGE_SIZE = args.img
+    cfg.INPUT.DEVICE_NORMALIZE = True  # uint8 to the device
+    dataset = ZipData(zpath, mpath, build_transforms(cfg, is_train=True))
+    sampler = make_data_sampler(
+        len(dataset), shuffle=True, distributed=False, is_train=True,
+        repeated_aug=False, num_replicas=1, rank=0, seed=0,
+    )
+    if args.data_backend == "grain":
+        from vil_tpu.data.grain_loader import GrainDataLoader
+
+        loader = GrainDataLoader(dataset, sampler, args.batch,
+                                 drop_last=True,
+                                 num_workers=args.data_workers)
+    else:
+        loader = DataLoader(dataset, sampler, args.batch, drop_last=True,
+                            num_workers=args.data_workers)
+
+    step_j = jax.jit(train_step)
+
+    def batches():
+        while True:  # loop epochs until the step budget is consumed
+            for imgs, targets in loader:
+                yield jnp.asarray(imgs), jnp.asarray(targets)
+
+    it = batches()
+    warmup = 3
+    for _ in range(warmup):  # compile + pipeline spin-up
+        imgs, targets = next(it)
+        state, metrics = step_j(state, imgs, targets, rng)
+    float(metrics["loss"])  # block: steady state begins
+
+    n = 0
+    t0 = time.time()
+    for _ in range(args.data_steps):
+        imgs, targets = next(it)  # host pipeline (overlaps device work)
+        state, metrics = step_j(state, imgs, targets, rng)
+        n += imgs.shape[0]
+    final_loss = float(metrics["loss"])  # block on the last step
+    dt = time.time() - t0
+    cores = os.cpu_count() or 1
+    rate = n / dt
+    print(
+        f"END-TO-END {args.data_backend} pipeline → train step: "
+        f"{args.arch} {args.img}px batch={args.batch} "
+        f"workers={args.data_workers} ({cores} host cores): "
+        f"{rate:.1f} img/s over {args.data_steps} steps "
+        f"(loss {final_loss:.3f}); "
+        f"per-core {rate / cores:.1f} img/s/core — a production host needs "
+        f"~ceil(chip_rate / per_core_rate) cores to saturate the chip"
     )
 
 

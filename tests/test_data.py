@@ -250,6 +250,59 @@ def test_tsv_lineidx_matches_reference_format(tmp_path):
     assert open(ours).read() == open(theirs).read()
 
 
+def test_tsv_curation_ops(tmp_path):
+    """Offline curation tail (reference tsv_file_ops.py:105-294):
+    extract/remove column, merge label files/fields, remove fields,
+    sort/reorder by keys."""
+    a = str(tmp_path / "a.tsv")
+    b = str(tmp_path / "b.tsv")
+    T.tsv_writer(
+        [["k0", json.dumps([{"class": "cat", "conf": 0.9}]), "payload0"],
+         ["k1", json.dumps([{"class": "dog", "conf": 0.8}]), "payload1"]],
+        a,
+    )
+    T.tsv_writer(
+        [["k0", json.dumps([{"rect": [0, 0, 1, 1]}])],
+         ["k1", json.dumps([{"rect": [2, 2, 3, 3]}])]],
+        b,
+    )
+
+    # extract/remove column
+    col = T.extract_column(a, col=2)
+    assert [r for r in T.tsv_reader(col)] == [
+        ["k0", "payload0"], ["k1", "payload1"]
+    ]
+    rem = T.remove_column(a, col=2)
+    assert all(len(r) == 2 for r in T.tsv_reader(rem))
+
+    # merge label lists (concat) and per-box fields (dict update)
+    merged = T.merge_two_label_files(rem, b)
+    rows = list(T.tsv_reader(merged))
+    assert json.loads(rows[0][1]) == [
+        {"class": "cat", "conf": 0.9}, {"rect": [0, 0, 1, 1]}
+    ]
+    mf = str(tmp_path / "mf.tsv")
+    T.merge_label_fields(rem, b, mf)
+    assert json.loads(next(iter(T.tsv_reader(mf)))[1]) == [
+        {"class": "cat", "conf": 0.9, "rect": [0, 0, 1, 1]}
+    ]
+    rf = str(tmp_path / "rf.tsv")
+    T.remove_label_fields(mf, rf, ["conf", "rect"])
+    assert json.loads(next(iter(T.tsv_reader(rf)))[1]) == [{"class": "cat"}]
+
+    # key alignment + sort/reorder
+    rev = str(tmp_path / "rev.tsv")
+    T.tsv_writer(list(T.tsv_reader(b))[::-1], rev)
+    assert T.is_same_keys_for_files(a, b)
+    assert not T.is_same_keys_for_files(a, rev)
+    assert T.sort_file_based_on_keys(a, b) == b  # already aligned: no-op
+    sorted_path = T.sort_file_based_on_keys(a, rev)
+    assert [r[0] for r in T.tsv_reader(sorted_path)] == ["k0", "k1"]
+    out = str(tmp_path / "reordered.tsv")
+    T.reorder_tsv_keys(b, ["k1", "k0"], out)
+    assert [r[0] for r in T.tsv_reader(out)] == ["k1", "k0"]
+
+
 def test_zipdata(tmp_path):
     zpath = str(tmp_path / "val.zip")
     with zipfile.ZipFile(zpath, "w") as z:

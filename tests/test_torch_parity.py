@@ -368,6 +368,136 @@ def test_sgd_loss_trajectory_matches_reference_flagship():
     np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_production_recipe_trajectory_matches_reference_flagship():
+    """50 steps of the PRODUCTION training recipe from identical weights on
+    the flagship shape (vil_small @224): reference decoupled-WD AdamW with
+    the model's two-group no_weight_decay split
+    (/root/reference/src/optim/optimization.py:111-193,
+    optim/__init__.py:21-40) + WarmupCosineAnnealingLR stepped per
+    iteration (engine.py:112-115) + mixup with label-smoothed soft targets
+    (shared host-side lam draws, timm flip-pairing) +
+    SoftTargetCrossEntropy. Per-step losses must track torch's through
+    warmup AND into the cosine phase — the strongest in-env substitute for
+    the blocked released-checkpoint eval north star."""
+    import sys
+
+    if "/root/reference/src" not in sys.path:
+        sys.path.insert(0, "/root/reference/src")
+    from optim.lr_scheduler import WarmupCosineAnnealingLR
+    from optim.optimization import AdamW as RefAdamW
+
+    import optax
+
+    from vil_tpu.models import ARCH_ZOO
+    from vil_tpu.train.loss import soft_target_cross_entropy
+    from vil_tpu.train.optim import decay_mask
+    from vil_tpu.train.schedulers import warmup_cosine
+
+    steps, batch, base_lr, wd, eps = 50, 2, 5e-4, 0.05, 1e-8
+    warmup_iters, smoothing = 10, 0.1
+
+    torch.manual_seed(0)
+    RefMsViT = get_reference_msvit()
+    arch, img, ncls = ARCH_ZOO["vil_small"], 224, 1000
+    ref = RefMsViT(
+        arch=arch, img_size=img, num_classes=ncls,
+        attn_type="longformerhand", drop_rate=0.0, attn_drop_rate=0.0,
+        drop_path_rate=0.0, norm_embed=True, sharew=True,
+    )
+    ref.eval()  # model-side stochasticity off; the recipe's randomness
+    # (mixup) comes from shared host draws below
+    state = {k: v.detach().numpy().copy() for k, v in ref.state_dict().items()}
+
+    model = MsViT(
+        arch=arch, img_size=img, num_classes=ncls,
+        attn_type="longformerhand", norm_embed=True, sharew=True,
+        dtype=jnp.float32,
+    )
+
+    # shared host-side draws: inputs, labels, mixup lams
+    rng = np.random.default_rng(33)
+    xs = rng.standard_normal((steps, batch, img, img, 3)).astype(np.float32)
+    ys = rng.integers(0, ncls, size=(steps, batch))
+    lams = rng.beta(0.8, 0.8, size=steps).astype(np.float32)
+
+    def mixed_batch(i):
+        """timm-style flip-pair mixup + label-smoothed soft targets (the
+        same math as vil_tpu.data.mixup, lam drawn host-side)."""
+        lam = lams[i]
+        x = lams[i] * xs[i] + (1 - lam) * xs[i][::-1]
+        off = smoothing / ncls
+        on = 1.0 - smoothing + off
+        oh = np.full((batch, ncls), off, np.float32)
+        oh[np.arange(batch), ys[i]] = on
+        oh_f = np.full((batch, ncls), off, np.float32)
+        oh_f[np.arange(batch), ys[i][::-1]] = on
+        return x, lam * oh + (1 - lam) * oh_f
+
+    # ---- torch side: reference AdamW + per-iteration cosine schedule ----
+    no_decay = list(ref.no_weight_decay())
+    groups = [
+        {"params": [p for n, p in ref.named_parameters()
+                    if not any(nd in n for nd in no_decay)],
+         "weight_decay": wd},
+        {"params": [p for n, p in ref.named_parameters()
+                    if any(nd in n for nd in no_decay)],
+         "weight_decay": 0.0},
+    ]
+    opt_t = RefAdamW(groups, lr=base_lr, betas=(0.9, 0.999), eps=eps)
+    sched_t = WarmupCosineAnnealingLR(
+        opt_t, max_iter=steps, min_lr=0.0, warmup_factor=1.0 / 3,
+        warmup_iters=warmup_iters, warmup_method="linear",
+    )
+    losses_t = []
+    for i in range(steps):
+        x, y_soft = mixed_batch(i)
+        opt_t.zero_grad()
+        logits = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        loss = torch.mean(torch.sum(
+            -torch.from_numpy(y_soft)
+            * torch.nn.functional.log_softmax(logits, dim=-1), dim=-1,
+        ))
+        loss.backward()
+        opt_t.step()
+        sched_t.step()
+        losses_t.append(float(loss.detach()))
+
+    # ---- jax side: the production stack (optax.adamw + decay_mask +
+    # warmup_cosine + soft_target_cross_entropy) ----
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(xs[0])
+    )
+    params = import_torch_checkpoint(state, variables["params"], strict=True)
+    schedule = warmup_cosine(
+        base_lr, steps, 0.0, warmup_factor=1.0 / 3,
+        warmup_iters=warmup_iters, warmup_method="linear",
+    )
+    tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=eps, weight_decay=wd,
+                     mask=decay_mask(params))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y_soft):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, deterministic=True)
+            return soft_target_cross_entropy(logits, y_soft)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses_j = []
+    for i in range(steps):
+        x, y_soft = mixed_batch(i)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(x), jnp.asarray(y_soft)
+        )
+        losses_j.append(float(loss))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-3, atol=5e-4)
+
+
 def test_pos_embed_resize_on_resolution_change():
     """Load a 64px checkpoint into a 96px model: pos embeds must be resized
     (checkpoint.py:98-108) and the forward must run."""

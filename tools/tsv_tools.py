@@ -9,6 +9,15 @@ Subcommands:
     labelmap  <label.tsv>               collect the class set
     linelist  <label.tsv>               rows with at least one ground truth
     head      <file.tsv> [n]            print the first n row keys/labels
+
+Offline curation (reference tsv_file_ops.py:105-294):
+    extract-column <file.tsv> [--col N] [--out F]   keep [key, col] per row
+    remove-column  <file.tsv> [--col N] [--out F]   drop one column
+    merge-labels   <a.tsv> <b.tsv> [--out F]        concat JSON label lists
+    merge-fields   <a.tsv> <b.tsv> <out.tsv>        merge per-box dict fields
+    remove-fields  <in.tsv> <out.tsv> <field>...    delete per-box fields
+    sort-by-keys   <ref.tsv> <file.tsv> [--out F]   reorder rows to ref keys
+    same-keys      <a.tsv> <b.tsv>                  check key alignment
 """
 from __future__ import annotations
 
@@ -63,6 +72,38 @@ def cmd_head(args):
         print("\t".join(row[:2]) + (f"\t<{len(row[-1])}b payload>" if len(row) > 2 else ""))
 
 
+def cmd_extract_column(args):
+    print(f"wrote {T.extract_column(args.tsv, args.col, args.out)}")
+
+
+def cmd_remove_column(args):
+    print(f"wrote {T.remove_column(args.tsv, args.col, args.out)}")
+
+
+def cmd_merge_labels(args):
+    print(f"wrote {T.merge_two_label_files(args.a, args.b, args.out)}")
+
+
+def cmd_merge_fields(args):
+    print(f"wrote {T.merge_label_fields(args.a, args.b, args.out)}")
+
+
+def cmd_remove_fields(args):
+    print(f"wrote {T.remove_label_fields(args.tsv, args.out, args.fields)}")
+
+
+def cmd_sort_by_keys(args):
+    out = T.sort_file_based_on_keys(args.ref, args.tsv, args.out)
+    print(f"wrote {out}" if out != args.tsv
+          else "file keys are the same, skip sorting")
+
+
+def cmd_same_keys(args):
+    same = T.is_same_keys_for_files(args.a, args.b)
+    print("same" if same else "DIFFERENT")
+    raise SystemExit(0 if same else 1)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -74,6 +115,23 @@ def main():
     s = sub.add_parser("linelist"); s.add_argument("tsv"); s.set_defaults(fn=cmd_linelist)
     s = sub.add_parser("head"); s.add_argument("tsv")
     s.add_argument("n", nargs="?", type=int, default=5); s.set_defaults(fn=cmd_head)
+    s = sub.add_parser("extract-column"); s.add_argument("tsv")
+    s.add_argument("--col", type=int, default=1); s.add_argument("--out")
+    s.set_defaults(fn=cmd_extract_column)
+    s = sub.add_parser("remove-column"); s.add_argument("tsv")
+    s.add_argument("--col", type=int, default=1); s.add_argument("--out")
+    s.set_defaults(fn=cmd_remove_column)
+    s = sub.add_parser("merge-labels"); s.add_argument("a"); s.add_argument("b")
+    s.add_argument("--out"); s.set_defaults(fn=cmd_merge_labels)
+    s = sub.add_parser("merge-fields"); s.add_argument("a"); s.add_argument("b")
+    s.add_argument("out"); s.set_defaults(fn=cmd_merge_fields)
+    s = sub.add_parser("remove-fields"); s.add_argument("tsv")
+    s.add_argument("out"); s.add_argument("fields", nargs="+")
+    s.set_defaults(fn=cmd_remove_fields)
+    s = sub.add_parser("sort-by-keys"); s.add_argument("ref"); s.add_argument("tsv")
+    s.add_argument("--out"); s.set_defaults(fn=cmd_sort_by_keys)
+    s = sub.add_parser("same-keys"); s.add_argument("a"); s.add_argument("b")
+    s.set_defaults(fn=cmd_same_keys)
     args = p.parse_args()
     args.fn(args)
 

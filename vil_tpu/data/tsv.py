@@ -222,6 +222,119 @@ def generate_hw_file(img_file: str, save_file: Optional[str] = None) -> str:
     return save_file
 
 
+def extract_column(tsv_file: str, col: int = 1,
+                   save_file: Optional[str] = None) -> str:
+    """Keep [key, row[col]] per row (tsv_file_ops.py:105-114 parity)."""
+    save_file = save_file or op.splitext(tsv_file)[0] + f".col.{col}.tsv"
+    tsv_writer(
+        ([row[0], row[col]] for row in tsv_reader(tsv_file)), save_file
+    )
+    return save_file
+
+
+def remove_column(tsv_file: str, col: int = 1,
+                  save_file: Optional[str] = None) -> str:
+    """Drop column ``col`` from every row (tsv_file_ops.py:117-125)."""
+
+    def rows():
+        for row in tsv_reader(tsv_file):
+            yield row[:col] + row[col + 1:]
+
+    save_file = save_file or op.splitext(tsv_file)[0] + f".remove.{col}.tsv"
+    tsv_writer(rows(), save_file)
+    return save_file
+
+
+def merge_two_label_files(label_file1: str, label_file2: str,
+                          save_file: Optional[str] = None) -> str:
+    """Concatenate the per-row JSON label lists of two key-aligned label
+    TSVs (tsv_file_ops.py:183-194)."""
+
+    def rows():
+        for row1, row2 in zip(tsv_reader(label_file1),
+                              tsv_reader(label_file2)):
+            assert row1[0] == row2[0], (row1[0], row2[0])
+            yield [row1[0], json.dumps(json.loads(row1[1])
+                                       + json.loads(row2[1]))]
+
+    save_file = save_file or op.splitext(label_file1)[0] + ".merge.tsv"
+    tsv_writer(rows(), save_file)
+    return save_file
+
+
+def merge_label_fields(in_tsv1: str, in_tsv2: str, out_tsv: str) -> str:
+    """Merge the per-box label dict fields of two key- and box-aligned
+    label TSVs (tsv_file_ops.py:266-277)."""
+
+    def rows():
+        for row1, row2 in zip(tsv_reader(in_tsv1), tsv_reader(in_tsv2)):
+            assert row1[0] == row2[0], (row1[0], row2[0])
+            labs1, labs2 = json.loads(row1[1]), json.loads(row2[1])
+            assert len(labs1) == len(labs2)
+            for lab1, lab2 in zip(labs1, labs2):
+                lab1.update(lab2)
+            yield [row1[0], json.dumps(labs1)]
+
+    tsv_writer(rows(), out_tsv)
+    return out_tsv
+
+
+def remove_label_fields(in_tsv: str, out_tsv: str, remove_fields) -> str:
+    """Delete the named fields from every box's label dict
+    (tsv_file_ops.py:280-292)."""
+    if isinstance(remove_fields, str):
+        remove_fields = [remove_fields]
+
+    def rows():
+        for row in tsv_reader(in_tsv):
+            labels = json.loads(row[1])
+            for lab in labels:
+                for field in remove_fields:
+                    lab.pop(field, None)
+            yield [row[0], json.dumps(labels)]
+
+    tsv_writer(rows(), out_tsv)
+    return out_tsv
+
+
+def is_same_keys_for_files(tsv_file1: str, tsv_file2: str,
+                           linelist_file1: Optional[str] = None,
+                           linelist_file2: Optional[str] = None) -> bool:
+    """Whether two TSVs carry identical keys row-for-row (under optional
+    linelists) — tsv_file_ops.py:197-213."""
+    tsv1 = TSVFile(tsv_file1, generate_lineidx=True)
+    tsv2 = TSVFile(tsv_file2, generate_lineidx=True)
+    ll1 = load_linelist_file(linelist_file1) or list(range(tsv1.num_rows()))
+    ll2 = load_linelist_file(linelist_file2) or list(range(tsv2.num_rows()))
+    assert len(ll1) == len(ll2)
+    return all(
+        tsv1.seek(i1)[0] == tsv2.seek(i2)[0] for i1, i2 in zip(ll1, ll2)
+    )
+
+
+def reorder_tsv_keys(in_tsv_file: str, ordered_keys, out_tsv_file: str) -> str:
+    """Rewrite ``in_tsv_file`` with its rows in ``ordered_keys`` order
+    (tsv_file_ops.py:236-244)."""
+    tsv = TSVFile(in_tsv_file, generate_lineidx=True)
+    key_to_idx = {tsv.seek(i)[0]: i for i in range(tsv.num_rows())}
+    tsv_writer(
+        (tsv.seek(key_to_idx[key]) for key in ordered_keys), out_tsv_file
+    )
+    return out_tsv_file
+
+
+def sort_file_based_on_keys(ref_file: str, tsv_file: str,
+                            save_file: Optional[str] = None) -> str:
+    """Reorder ``tsv_file`` so its row keys match ``ref_file``'s
+    (tsv_file_ops.py:216-233). No-op (returns ``tsv_file``) when the keys
+    already agree."""
+    if is_same_keys_for_files(ref_file, tsv_file):
+        return tsv_file
+    save_file = save_file or op.splitext(tsv_file)[0] + ".sorted.tsv"
+    ordered = [row[0] for row in tsv_reader(ref_file)]
+    return reorder_tsv_keys(tsv_file, ordered, save_file)
+
+
 class TSVDataset:
     """Image TSV + optional label/hw/linelist sidecars
     (reference tsv_dataset.py:14-100)."""
