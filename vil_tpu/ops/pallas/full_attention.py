@@ -47,6 +47,19 @@ def _score_dtype(dtype):
 
     return score_dtype(dtype)
 
+
+def _fast_max() -> bool:
+    """Shared cheap-softmax-max policy (vil_kernel.FAST_MAX)."""
+    from .vil_kernel import FAST_MAX
+
+    return FAST_MAX
+
+
+def _fast_max_clamp() -> float:
+    from .vil_kernel import FAST_MAX_CLAMP
+
+    return FAST_MAX_CLAMP
+
 # whole-image kernel VMEM budgets: the pallas_calls raise the Mosaic scope to
 # 64 MB; estimates count every statically-unrolled head's f32 score-sized
 # temporaries (Mosaic does not reuse stack slots across the head unroll —
@@ -206,8 +219,23 @@ def _tiled_kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
         ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
         if bias_ref is not None:
             scores = scores + bias_ref[h]
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        probs = jnp.exp(scores - m).astype(q_h.dtype)
+        if _fast_max() and scores.shape[-1] > 128:
+            # r5 (vil_kernel.FAST_MAX, same shift-invariance argument): the
+            # N-wide row max costs a full VPU pass over the score tile —
+            # reduce a static 128-column prefix instead and clamp the
+            # shifted scores. This tier has NO masks (only the optional RPE
+            # bias), so the prefix max trails the true max by the finite
+            # score spread; the clamp (inert in practice) bounds the
+            # theoretical tail and the deferred normalization divides any
+            # shift out exactly. LSE = m + log Σexp(s−m) stays invariant.
+            m = jnp.max(scores[:, :128], axis=-1, keepdims=True)
+            shifted = jnp.minimum(
+                scores - m, jnp.asarray(_fast_max_clamp(), scores.dtype)
+            )
+        else:
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            shifted = scores - m
+        probs = jnp.exp(shifted).astype(q_h.dtype)
         denom = jnp.sum(probs, axis=-1, keepdims=True, dtype=jnp.float32)
         if with_lse:
             lse_ref[0, h] = (m + jnp.log(denom))[:, 0]
@@ -252,7 +280,11 @@ def _pick_tile_q(N: int, C: int, num_heads: int,
     score temporaries ×num_heads (static head unroll — Mosaic keeps every
     head's stack slots live, vil_kernel's row-unroll lesson) + the
     streamed (H, TQ, N) f32 bias tile when biased."""
-    for tq in (512, 256, 128, 64, 32):
+    # Mosaic requires block last-dims divisible by (8, 128) or full: the
+    # (1, H, TQ) lse OUTPUT tile puts TQ on the lane axis, so forward tiles
+    # must be multiples of 128 (the backward escapes this with a transposed
+    # lse layout — see _pallas_backward_tiled)
+    for tq in (512, 384, 256, 128):
         est = (
             2 * 2 * N * C * 2        # k, v resident ×2 pipeline buffers
             + 2 * 2 * tq * C * 2     # q, out tiles ×2 buffers
@@ -390,7 +422,16 @@ def _tiled_bwd_kernel(num_heads: int, has_bias: bool, *refs):
         ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
         if bias_ref is not None:
             s = s + bias_ref[h]
-        p = jnp.exp(s - lse_ref[0, h][:, None]).astype(q_h.dtype)
+        # lse arrives TRANSPOSED (1, TQ, H): TQ on the sublane axis keeps
+        # sub-128 tiles lowerable (a (1, H, TQ) tile puts TQ on the lane
+        # axis, which Mosaic only accepts at multiples of 128)
+        z = s - lse_ref[0, :, h][:, None]
+        if _fast_max():
+            # mirrors the forward's prefix-max clamp: z ≤ 0 for every row
+            # whose forward clamp was inert (all of them in practice), and
+            # a clamped row stays finite instead of inf·0 = NaN
+            z = jnp.minimum(z, jnp.asarray(_fast_max_clamp(), z.dtype))
+        p = jnp.exp(z).astype(q_h.dtype)
         dp = jax.lax.dot_general(
             g_h, v_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -422,7 +463,9 @@ def _pick_tile_q_bwd(N: int, C: int, num_heads: int,
     """Backward tile size: K/V + f32 dK/dV resident (×2 buffers) + per-head
     S/P/dP/dS/δ temporaries (~16 B per score element, ×num_heads unrolled)
     + streamed f32 bias-in and dbias-out tiles (×2 buffers each) when
-    biased."""
+    biased. Sub-128 tiles are legal here (unlike the forward): the lse
+    streams in TRANSPOSED (TQ, H) tiles, and every other block keeps its
+    full array dim on the lane axis."""
     for tq in (256, 128, 64, 32):
         est = (
             2 * 2 * N * C * 2        # k, v resident ×2 buffers
@@ -471,13 +514,15 @@ def _pallas_backward_tiled(
     tq = (tile_q or _env_tile("VIL_TPU_DENSE_TILE_Q_BWD", N)
           or _pick_tile_q_bwd(N, C, num_heads, has_bias))
     npad = -(-N // tq) * tq
+    # TRANSPOSE the lse to (B, Npad, H): TQ rides the sublane axis so
+    # sub-128 backward tiles lower (Mosaic lane-axis tiles must be ×128)
+    lse_t = jnp.swapaxes(lse, 1, 2)  # (B, N, H) f32 — tiny
     if npad != N:
         pad = ((0, 0), (0, npad - N), (0, 0))
         q, g = jnp.pad(q, pad), jnp.pad(g, pad)
         # +1e9 (not 0): padded rows must give P = exp(S − lse) = 0 so the
         # biased S (= bias at q=0) can never contribute to dV via P
-        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, npad - N)),
-                      constant_values=1e9)
+        lse_t = jnp.pad(lse_t, pad, constant_values=1e9)
         if has_bias:
             bias = jnp.pad(bias, ((0, 0), (0, npad - N), (0, 0)))
 
@@ -485,10 +530,10 @@ def _pallas_backward_tiled(
                         memory_space=pltpu.VMEM)
     kv = pl.BlockSpec((1, N, C), lambda b, i: (b, 0, 0),
                       memory_space=pltpu.VMEM)
-    lse_spec = pl.BlockSpec((1, num_heads, tq), lambda b, i: (b, 0, i),
+    lse_spec = pl.BlockSpec((1, tq, num_heads), lambda b, i: (b, i, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [tile, kv, kv, tile, lse_spec]
-    operands = [q, k, v, g, lse]
+    operands = [q, k, v, g, lse_t]
     out_specs = [tile, kv, kv]
     out_shape = [
         jax.ShapeDtypeStruct((B, npad, C), q.dtype),

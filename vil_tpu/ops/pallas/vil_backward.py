@@ -108,6 +108,12 @@ def _probs_lse(scores, lse_row, dtype):
     from . import vil_kernel
 
     z = scores - lse_row[..., None]
+    if vil_kernel.FAST_MAX:
+        # under the center-block forward max, a fully-masked-center PADDING
+        # row's LSE is no longer ≥ its row max — clamp keeps the recompute
+        # finite there (p·(dp−δ) = finite·0 = 0, not inf·0 = NaN); inert
+        # for every valid row, matching the forward's clamp
+        z = jnp.minimum(z, jnp.asarray(vil_kernel.FAST_MAX_CLAMP, z.dtype))
     if vil_kernel.BF16_EXP and dtype == jnp.bfloat16:
         return jnp.exp(z.astype(jnp.bfloat16))
     return jnp.exp(z)

@@ -185,6 +185,23 @@ KV_RES_VMEM_BYTES = 88 * 2**20
 
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
+# CENTER-BLOCK softmax max (r5). The row-max was the single most expensive
+# VPU pass of the stage-1 forward (0.87 of 3.28 ms device-clock, r4
+# ablation) — and softmax is shift-invariant: ANY overflow-safe subtrahend
+# is exact (the deferred normalization divides it out, and the stashed
+# LSE = m + log Σexp(s−m) is invariant in m). The 9W²-wide reduce is
+# replaced by a reduce over the W² CENTER-block columns (SELF_BLOCK's slice
+# in TAIL order): the self column always sits there and is never masked for
+# a valid query, so the center max trails the true max by at most the
+# finite score range (~tens). exp then runs on min(s − m, CLAMP): for every
+# valid row the clamp is inert (gap < CLAMP ⇒ bitwise-identical math up to
+# the shared shift); it only engages on fully-padding query rows whose
+# center block is entirely masked — rows whose outputs are discarded — and
+# turns their would-be inf/NaN into large-but-finite values (exp(80)
+# ≈ 5.5e34 < bf16/f32 max; 442-column f32 denominators stay ≤ 2.4e37).
+FAST_MAX = _os.environ.get("VIL_TPU_FAST_MAX", "1") == "1"
+FAST_MAX_CLAMP = 80.0
+
 
 def _nbh_rows(rows, my: int, extra=None):
     """3 × (my, W2, C) chunk rows → (my, 9W2[+Nglo], C) neighborhood concat
@@ -211,7 +228,8 @@ def _nbh_rows(rows, my: int, extra=None):
 
 
 def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
-                groups, M: int, out_row, lse_out=None, comb_row=None):
+                groups, M: int, out_row, lse_out=None, comb_row=None,
+                center_part: int = 4):
     out_ref, out_idx = out_row
     """One chunk-row of fused attention, deferred normalization, head-PAIR
     merged GEMMs (v8).
@@ -305,29 +323,48 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
                     # the row-max is the single most expensive VPU pass
                     # (0.92 of 3.33 ms at stage-1 shapes, r4 device-clock
                     # ablation) and softmax is shift-invariant — ANY value
-                    # ≥ max-ε is a valid subtrahend. Run the reduce on
-                    # bf16-cast scores (2 elements per 32-bit lane slot →
-                    # half the cross-lane reduction work); the ≤0.4%
-                    # rounding of m cancels exactly in exp(x−m)/Σexp(x−m)
-                    # up to f32 rounding. f32 inputs (CPU/golden-parity
-                    # path) keep the exact f32 reduce.
-                    if (scores.dtype == jnp.float32
+                    # ≥ max-ε is a valid subtrahend. FAST_MAX (r5) reduces
+                    # only the W² CENTER-block columns (9× less reduction
+                    # work; see the flag comment) — the exp pass clamps the
+                    # shifted scores so the rare fully-masked-center padding
+                    # rows stay finite. The bf16-cast trick (2 elements per
+                    # 32-bit lane slot → half the cross-lane reduction
+                    # work) composes with it. f32 inputs (CPU/golden-parity
+                    # path) keep the f32 reduce.
+                    red = scores
+                    if FAST_MAX:
+                        # the SELF block's column slice (the column axis is
+                        # shared across a pair's stacked query rows);
+                        # ``center_part`` = 4 in TAIL part order, or the
+                        # phase-dependent slot in the ring variant
+                        red = scores[
+                            ..., center_part * w2 : (center_part + 1) * w2
+                        ]
+                    if (red.dtype == jnp.float32
                             and q_g.dtype == jnp.bfloat16):
                         m = jnp.max(
-                            scores.astype(jnp.bfloat16), axis=-1,
+                            red.astype(jnp.bfloat16), axis=-1,
                             keepdims=True,
                         ).astype(jnp.float32)
                     else:
-                        m = jnp.max(scores, axis=-1, keepdims=True)
+                        m = jnp.max(red, axis=-1, keepdims=True)
             # unnormalized probs, cast in the same pass as the exp (the f32
             # probability tensor never hits VMEM); denominator accumulates
             # in f32 FROM the rounded probs — consistent with what the PV
             # matmul actually consumes
             with _scope("softmax_exp"):
+                shifted = scores - m
+                if FAST_MAX and ABLATE != "nomax":
+                    # inert for valid rows (center max trails the true max
+                    # by ≪ CLAMP); keeps fully-masked-center padding rows
+                    # finite (their outputs are discarded downstream)
+                    shifted = jnp.minimum(
+                        shifted, jnp.asarray(FAST_MAX_CLAMP, shifted.dtype)
+                    )
                 if BF16_EXP and q_g.dtype == jnp.bfloat16:
-                    probs = jnp.exp((scores - m).astype(jnp.bfloat16))
+                    probs = jnp.exp(shifted.astype(jnp.bfloat16))
                 else:
-                    probs = jnp.exp(scores - m).astype(q_g.dtype)
+                    probs = jnp.exp(shifted).astype(q_g.dtype)
                 denom = jnp.sum(
                     probs, axis=-1, keepdims=True, dtype=jnp.float32
                 )
@@ -614,6 +651,8 @@ def _mh_kernel_img_ring(nglo: int, w2: int, mx: int, my: int,
             q_ref[0, i_row], k_buf[...], v_buf[...],
             None, None, None, groups, M, (out_ref, (0, i_row)), lse_out,
             comb_row=(comb_pair, class_of[i_row] * 3 + i_row % 3),
+            # own row i_row sits in slot i_row%3, dy=0 is roll j=1
+            center_part=(i_row % 3) * 3 + 1,
         )
         if with_lse:
             for h in range(num_heads):

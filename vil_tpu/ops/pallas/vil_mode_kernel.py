@@ -71,6 +71,9 @@ def _fwd_row(groups, M, q_row, ks, knb, vs, vnb, kg_row, vg_row, bias_grp,
     _attend_row(
         q_row, k_cat, v_cat, bias_grp, mask, mask2, groups, M, out_row,
         lse_out, comb_row,
+        # mode layout is [self W² ‖ neighbor W² ‖ glo]: the never-masked
+        # self block (FAST_MAX's reduce window) leads the concat
+        center_part=0,
     )
 
 
