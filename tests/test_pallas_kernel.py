@@ -733,6 +733,31 @@ def test_tiled_bwd_hbm_guard():
     assert fa.supported_bwd_tiled(8, 4097, 512, 8, False)
 
 
+def test_dense_tier_gating_rpe_shapes():
+    """The r5 budget/tile wiring must engage the fused paths at the real
+    RPE shapes the r4 review flagged as falling back to XLA recompute:
+    384² stage-3 biased whole-image backward (H=8/C=512 and H=6/C=384
+    under the 84 MB biased budget; H=12/C=768 still over) and the 1024²
+    biased q-tiled tiers (forward streams bias at tq=128, backward at a
+    sub-128 tile via the transposed-LSE layout)."""
+    from vil_tpu.ops.pallas import full_attention as fa
+
+    assert fa.supported_bwd(16, 577, 512, 8, True)
+    assert fa.supported_bwd(16, 577, 384, 6, True)
+    assert not fa.supported_bwd(16, 577, 768, 12, True)
+    # 1024² vil_small stage 3 (N=4097, C=384, H=6), RPE
+    assert fa.supported_tiled(4, 4097, 384, 6, True)
+    assert fa._pick_tile_q(4097, 384, 6, True) == 128
+    assert fa.supported_bwd_tiled(4, 4097, 384, 6, True)
+    assert fa._pick_tile_q_bwd(4097, 384, 6, True) == 64  # sub-128: legal
+    # 1024² stage 4 (N=1025, C=768, H=12), RPE
+    assert fa.supported_bwd_tiled(4, 1025, 768, 12, True)
+    # forward tiles stay multiples of 128 (lane-axis lse OUT tile)
+    for N, C, H in ((4097, 384, 6), (1025, 768, 12), (577, 512, 8)):
+        tq = fa._pick_tile_q(N, C, H, True)
+        assert tq is None or tq % 128 == 0
+
+
 @pytest.mark.parametrize("with_bias,H", [(False, 2), (True, 3)])
 def test_fused_full_attention_backward_kernel(monkeypatch, with_bias, H):
     """The fused full-attention BACKWARD kernel (r3: LSE-stashed forward,

@@ -361,7 +361,14 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
                     shifted = jnp.minimum(
                         shifted, jnp.asarray(FAST_MAX_CLAMP, shifted.dtype)
                     )
-                if BF16_EXP and q_g.dtype == jnp.bfloat16:
+                # under FAST_MAX the shifted scores are no longer pinned
+                # near 0 at the row max (they sit at +gap) — bf16's
+                # ABSOLUTE rounding there costs ~gap/256 relative prob
+                # error (measured: kernel-vs-xla err 1.6e-2 → 8.5e-2 at
+                # unit scale), while the packed-bf16 exp is speed-NEUTRAL
+                # (r2 A/B) — so keep the exp input f32 whenever FAST_MAX
+                # shifts the window
+                if BF16_EXP and q_g.dtype == jnp.bfloat16 and not FAST_MAX:
                     probs = jnp.exp(shifted.astype(jnp.bfloat16))
                 else:
                     probs = jnp.exp(shifted).astype(q_g.dtype)
