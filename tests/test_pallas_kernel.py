@@ -54,11 +54,11 @@ def test_pallas_matches_xla(nglo, with_bias, exact):
 
 
 def test_fast_max_matches_exact_max(monkeypatch):
-    """VIL_TPU_FAST_MAX (r5): the center-block softmax max must be an EXACT
-    substitute for the full 9W²-row max — softmax is shift-invariant and
-    the stashed LSE is invariant in the subtrahend — including grads
-    through the fused VJP, under a padding mask (the center block always
-    holds the never-masked self column for valid rows)."""
+    """VIL_TPU_FAST_MAX (r5, INFERENCE path): the center-block softmax max
+    must be an EXACT substitute for the full 9W²-row max — softmax is
+    shift-invariant — under a padding mask (the center block always holds
+    the never-masked self column for valid rows). The TRAIN (with_lse)
+    path must be untouched by the flag (exact max, exact LSE)."""
     BH, mx, my, w, M, nglo, H = 2, 3, 3, 3, 8, 1, 2
     w2 = w * w
     C = H * M
@@ -68,40 +68,39 @@ def test_fast_max_matches_exact_max(monkeypatch):
         jax.random.PRNGKey(17), BH, mx, my, w, C, nglo, True, H=H
     )
 
-    def run():
-        out, lse = vil_kernel._pallas_forward_mh(
+    def run(with_lse):
+        res = vil_kernel._pallas_forward_mh(
             q, k, v, k_glo, v_glo, bias, mask_add, H, interpret=True,
-            with_lse=True,
+            with_lse=with_lse,
         )
-        return np.asarray(out), np.asarray(lse)
+        if with_lse:
+            return np.asarray(res[0]), np.asarray(res[1])
+        return np.asarray(res), None
 
     monkeypatch.setattr(vil_kernel, "FAST_MAX", True)
-    out_fast, lse_fast = run()
+    out_fast, _ = run(False)
+    lse_out_fast, lse_fast = run(True)
     monkeypatch.setattr(vil_kernel, "FAST_MAX", False)
-    out_exact, lse_exact = run()
+    out_exact, _ = run(False)
+    lse_out_exact, lse_exact = run(True)
+    # inference path: shift-invariance makes the center max exact
     np.testing.assert_allclose(out_fast, out_exact, atol=1e-5, rtol=1e-5)
-    # LSE invariance: L = m + log Σexp(s−m) for ANY m
-    np.testing.assert_allclose(lse_fast, lse_exact, atol=1e-5, rtol=1e-5)
+    # train (with_lse) path: identical with the flag on or off
+    np.testing.assert_allclose(lse_out_fast, lse_out_exact, atol=0, rtol=0)
+    np.testing.assert_allclose(lse_fast, lse_exact, atol=0, rtol=0)
 
     # pathological guard: craft a row whose CENTER block is fully masked
-    # while off-center columns stay valid — the clamp must keep forward
-    # probs and the LSE-recompute backward finite (no inf/NaN), since such
-    # rows exist only as discarded padding
+    # while off-center columns stay valid — the clamp must keep the
+    # inference forward finite (no inf/NaN), since such rows exist only as
+    # discarded padding
     bad = np.asarray(mask_add).copy()
     bad[0, :, 4 * w2 : 5 * w2] = vil_kernel._NEG_INF  # mask every center col
     bad = jnp.asarray(bad)
     monkeypatch.setattr(vil_kernel, "FAST_MAX", True)
-    fused = vil_kernel.make_fused_vil_attention_mh(bad, H)
-
-    def loss(*args):
-        return jnp.sum(fused(*args) ** 2)
-
-    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
-        q, k, v, k_glo, v_glo, bias
+    out_bad = vil_kernel._pallas_forward_mh(
+        q, k, v, k_glo, v_glo, bias, bad, H, interpret=True
     )
-    assert np.isfinite(float(val))
-    for g in grads:
-        assert bool(jnp.all(jnp.isfinite(g)))
+    assert bool(jnp.all(jnp.isfinite(out_bad)))
 
 
 def test_pallas_matches_xla_exact_mask():
@@ -684,9 +683,9 @@ def test_tiled_full_attention_biased(monkeypatch, H, tile_q):
 
 
 def test_tiled_fast_max_matches_exact(monkeypatch):
-    """The dense tiled tier's prefix-128 FAST_MAX (r5) must be an exact
-    substitute for the full N-wide row max at N > 128 — outputs, LSE, and
-    the fused backward all invariant in the softmax subtrahend."""
+    """The dense tiled tier's prefix-128 FAST_MAX (r5, inference only) must
+    be an exact substitute for the full N-wide row max at N > 128; the
+    with_lse (train) path is untouched by the flag."""
     from vil_tpu.ops.pallas import full_attention as fa
 
     B, N, H, M = 2, 200, 2, 8
@@ -695,29 +694,32 @@ def test_tiled_fast_max_matches_exact(monkeypatch):
     q = jax.random.normal(ks[0], (B, N, C)) * 0.5
     k = jax.random.normal(ks[1], (B, N, C)) * 0.5
     v = jax.random.normal(ks[2], (B, N, C))
-    g = jax.random.normal(ks[3], (B, N, C))
     bias = jax.random.normal(ks[4], (H, N, N)) * 0.3
 
-    def run():
-        out, lse = fa._pallas_forward_tiled(
-            q, k, v, H, bias=bias, interpret=True, with_lse=True, tile_q=64
+    def run(with_lse):
+        res = fa._pallas_forward_tiled(
+            q, k, v, H, bias=bias, interpret=True, with_lse=with_lse,
+            tile_q=64,
         )
-        grads = fa._pallas_backward_tiled(
-            q, k, v, g, lse, H, bias=bias, interpret=True, tile_q=64
-        )
-        return (np.asarray(out), np.asarray(lse),
-                [np.asarray(a) for a in grads])
+        return res if with_lse else (res, None)
 
     from vil_tpu.ops.pallas import vil_kernel
 
     monkeypatch.setattr(vil_kernel, "FAST_MAX", True)
-    out_f, lse_f, grads_f = run()
+    out_f, _ = run(False)
+    out_lse_f, lse_f = run(True)
     monkeypatch.setattr(vil_kernel, "FAST_MAX", False)
-    out_e, lse_e, grads_e = run()
-    np.testing.assert_allclose(out_f, out_e, atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(lse_f, lse_e, atol=1e-5, rtol=1e-5)
-    for a, b in zip(grads_f, grads_e):
-        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+    out_e, _ = run(False)
+    out_lse_e, lse_e = run(True)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_e), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_lse_f), np.asarray(out_lse_e), atol=0, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_f), np.asarray(lse_e), atol=0, rtol=0
+    )
 
 
 def test_tiled_bwd_hbm_guard():

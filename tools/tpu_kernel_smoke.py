@@ -339,8 +339,10 @@ def run_smoke(verbose: bool = True) -> dict:
 
     @jax.jit
     def fa_tiled_pair(q, k, v, g, bias):
+        # fwd tile must be a multiple of 128 (the lse OUT tile rides the
+        # lane axis); the bwd's transposed-lse layout allows sub-128 tiles
         ot, lse = fa_mod._pallas_forward_tiled(
-            q, k, v, Ht, bias=bias, tile_q=64, with_lse=True
+            q, k, v, Ht, bias=bias, tile_q=128, with_lse=True
         )
         grads_t = fa_mod._pallas_backward_tiled(
             q, k, v, g, lse, Ht, bias=bias, tile_q=64

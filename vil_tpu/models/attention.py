@@ -105,6 +105,37 @@ def _softmax_max_sub(scores: jax.Array, axis: int = -1) -> jax.Array:
     return jax.nn.softmax(scores, axis=axis)
 
 
+def _assemble_full_rpe_bias(wx: int, wy: int, nglo: int, H: int,
+                            table: jax.Array, g2l: jax.Array = None,
+                            g2g: jax.Array = None) -> jax.Array:
+    """Pure (H, N, N) joint global+local RPE bias assembly
+    (msvit.py:72-114) from the parameter leaves — factored out of
+    FullAttention so the fused dense attention's custom VJP can
+    rematerialize it instead of saving the assembled tensor (403 MB per
+    block at 1024² stage 3)."""
+    idx = jnp.asarray(rpe_lib.full_rpe_index(wx, wy))
+    local_bias = table[idx.reshape(-1)].reshape(
+        wx * wy, wx * wy, H
+    ).transpose(2, 0, 1)  # (H, Nloc, Nloc)
+    if nglo > 0:
+        nloc = wx * wy
+        # rows for global queries: [g2g ‖ g2l[0]·1_Nloc]
+        glo_rows = jnp.concatenate(
+            [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, nglo, nloc))],
+            axis=-1,
+        )
+        # rows for local queries: [g2l[1]·1_Nloc ‖ local]
+        loc_rows = jnp.concatenate(
+            [
+                jnp.broadcast_to(g2l[1][:, None, :], (H, nloc, nglo)),
+                local_bias,
+            ],
+            axis=-1,
+        )
+        return jnp.concatenate([glo_rows, loc_rows], axis=1)  # (H, N, N)
+    return local_bias
+
+
 class FullAttention(nn.Module):
     """Dense multi-head self-attention (msvit.py:37-120)."""
 
@@ -143,7 +174,16 @@ class FullAttention(nn.Module):
             name="qkv",
         )(x)
 
-        bias = self._rpe_bias(N, H) if self.rpe else None
+        bias_params = None
+        bias = None
+        if self.rpe:
+            assert N == self.nglo + self.wx * self.wy, (
+                "For relative position, N != nglo + wx*wy"
+            )
+            bias_params = self._rpe_params(H)
+            bias = _assemble_full_rpe_bias(
+                self.wx, self.wy, self.nglo, H, *bias_params
+            )
 
         # Fused Pallas path: single-pass whole-sequence softmax kernel —
         # no (B, H, N, N) f32 score tensor in HBM, no head-split transpose.
@@ -170,18 +210,33 @@ class FullAttention(nn.Module):
             and (jax.default_backend() == "tpu" or full_attention.INTERPRET)
         ):
             q_tok, k_tok, v_tok = jnp.split(qkv, 3, axis=-1)
-            fused = full_attention.make_fused_full_attention(H // n_loc)
             bias_f = None if bias is None else bias.astype(jnp.float32)
             if head_shard:
                 from jax.sharding import PartitionSpec as P
 
+                fused = full_attention.make_fused_full_attention(H // n_loc)
                 tok = P(_tp_batch_axis(self.tp_mesh, B), None, self.tp_axis)
                 out = _tp_shard_call(
                     self.tp_mesh, self.tp_axis, fused,
                     (tok, tok, tok, P(self.tp_axis, None, None)), tok,
                     (q_tok * scale, k_tok, v_tok, bias_f),
                 )
+            elif self.rpe:
+                # RPE: the custom VJP encloses the bias ASSEMBLY — residuals
+                # are the table params, and the backward rebuilds the
+                # (H, N, N) tensor instead of 403 MB/block residuals at
+                # 1024² (full_attention.make_fused_full_attention_rpe)
+                import functools as _ft
+
+                assemble = _ft.partial(
+                    _assemble_full_rpe_bias, self.wx, self.wy, self.nglo, H
+                )
+                fused = full_attention.make_fused_full_attention_rpe(
+                    H, assemble
+                )
+                out = fused(q_tok * scale, k_tok, v_tok, *bias_params)
             else:
+                fused = full_attention.make_fused_full_attention(H)
                 out = fused(q_tok * scale, k_tok, v_tok, bias_f)
             out = nn.Dense(
                 self.dim,
@@ -221,22 +276,17 @@ class FullAttention(nn.Module):
         )(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
-    def _rpe_bias(self, N: int, H: int) -> jax.Array:
-        """Joint global+local relative position bias (H, N, N)
-        (msvit.py:72-114)."""
-        assert N == self.nglo + self.wx * self.wy, (
-            "For relative position, N != nglo + wx*wy"
-        )
+    def _rpe_params(self, H: int):
+        """Create the RPE parameter leaves (same names/shapes as before —
+        checkpoint-compatible); assembly lives in
+        :func:`_assemble_full_rpe_bias` so the fused custom VJP can enclose
+        it (saving table params instead of the (H, N, N) tensor)."""
         table = self.param(
             "local_relative_position_bias_table",
             trunc_normal_init,
             ((2 * self.wx - 1) * (2 * self.wy - 1), H),
             self.param_dtype,
         )
-        idx = jnp.asarray(rpe_lib.full_rpe_index(self.wx, self.wy))
-        local_bias = table[idx.reshape(-1)].reshape(
-            self.wx * self.wy, self.wx * self.wy, H
-        ).transpose(2, 0, 1)  # (H, Nloc, Nloc)
         if self.nglo > 0:
             g2l = self.param(
                 "g2l_relative_position_bias",
@@ -250,22 +300,9 @@ class FullAttention(nn.Module):
                 (H, self.nglo, self.nglo),
                 self.param_dtype,
             )
-            nloc = self.wx * self.wy
-            # rows for global queries: [g2g ‖ g2l[0]·1_Nloc]
-            glo_rows = jnp.concatenate(
-                [g2g, jnp.broadcast_to(g2l[0][:, :, None], (H, self.nglo, nloc))],
-                axis=-1,
-            )
-            # rows for local queries: [g2l[1]·1_Nloc ‖ local]
-            loc_rows = jnp.concatenate(
-                [
-                    jnp.broadcast_to(g2l[1][:, None, :], (H, nloc, self.nglo)),
-                    local_bias,
-                ],
-                axis=-1,
-            )
-            return jnp.concatenate([glo_rows, loc_rows], axis=1)  # (H, N, N)
-        return local_bias
+            return (table, g2l, g2g)
+        return (table,)
+
 
 
 class VilAttention(nn.Module):

@@ -219,15 +219,16 @@ def _tiled_kernel(num_heads: int, has_bias: bool, with_lse: bool, *refs):
         ).astype(_score_dtype(q_h.dtype))  # (TQ, N)
         if bias_ref is not None:
             scores = scores + bias_ref[h]
-        if _fast_max() and scores.shape[-1] > 128:
-            # r5 (vil_kernel.FAST_MAX, same shift-invariance argument): the
+        if _fast_max() and not with_lse and scores.shape[-1] > 128:
+            # r5 (vil_kernel.FAST_MAX, same shift-invariance argument,
+            # INFERENCE only — the train path keeps exact max/LSE): the
             # N-wide row max costs a full VPU pass over the score tile —
             # reduce a static 128-column prefix instead and clamp the
             # shifted scores. This tier has NO masks (only the optional RPE
             # bias), so the prefix max trails the true max by the finite
             # score spread; the clamp (inert in practice) bounds the
             # theoretical tail and the deferred normalization divides any
-            # shift out exactly. LSE = m + log Σexp(s−m) stays invariant.
+            # shift out exactly.
             m = jnp.max(scores[:, :128], axis=-1, keepdims=True)
             shifted = jnp.minimum(
                 scores - m, jnp.asarray(_fast_max_clamp(), scores.dtype)
@@ -424,13 +425,9 @@ def _tiled_bwd_kernel(num_heads: int, has_bias: bool, *refs):
             s = s + bias_ref[h]
         # lse arrives TRANSPOSED (1, TQ, H): TQ on the sublane axis keeps
         # sub-128 tiles lowerable (a (1, H, TQ) tile puts TQ on the lane
-        # axis, which Mosaic only accepts at multiples of 128)
+        # axis, which Mosaic only accepts at multiples of 128). The train
+        # forward always uses the exact max, so z ≤ 0 unconditionally.
         z = s - lse_ref[0, :, h][:, None]
-        if _fast_max():
-            # mirrors the forward's prefix-max clamp: z ≤ 0 for every row
-            # whose forward clamp was inert (all of them in practice), and
-            # a clamped row stays finite instead of inf·0 = NaN
-            z = jnp.minimum(z, jnp.asarray(_fast_max_clamp(), z.dtype))
         p = jnp.exp(z).astype(q_h.dtype)
         dp = jax.lax.dot_general(
             g_h, v_h, (((1,), (1,)), ((), ())),
@@ -779,6 +776,51 @@ def supported_bwd(B: int, N: int, C: int, num_heads: int,
     return est <= budget
 
 
+def make_fused_full_attention_rpe(num_heads: int, assemble_fn,
+                                  use_pallas: bool = True,
+                                  pallas_bwd: bool = True):
+    """RPE variant of :func:`make_fused_full_attention` whose custom VJP
+    boundary encloses the bias ASSEMBLY: ``assemble_fn(*bias_params) →
+    (H, N, N) f32``. The residuals saved for the backward are the tiny
+    table params, not the assembled tensor — at 1024² stage 3 the
+    (6, 4097, 4097) f32 bias is 403 MB and saving it per block OOMed the
+    chip (8 blocks ≈ 3.2 GB over a 16 GB HBM; measured: 18.7 GB requested).
+    The backward re-assembles the bias (one extra gather per layer) and
+    routes dbias through ``jax.vjp(assemble_fn)`` (the gather's scatter-add
+    transpose). Returns ``fused(q, k, v, *bias_params)``."""
+
+    inner = make_fused_full_attention(num_heads, use_pallas, pallas_bwd)
+
+    @jax.custom_vjp
+    def fused(q, k, v, *bias_params):
+        return inner(q, k, v, assemble_fn(*bias_params))
+
+    def fwd(q, k, v, *bias_params):
+        bias = assemble_fn(*bias_params)
+        out, res = _fused_fwd_parts(
+            q, k, v, bias, num_heads, use_pallas, pallas_bwd
+        )
+        q_, k_, v_, _, lse = res
+        return out, (q_, k_, v_, lse, bias_params)
+
+    def bwd(res, g):
+        q, k, v, lse, bias_params = res
+        bias, assemble_vjp = jax.vjp(assemble_fn, *bias_params)
+        dq, dk, dv, dbias = _fused_bwd_parts(
+            (q, k, v, bias, lse), g, num_heads, use_pallas
+        )
+        if dbias is None:
+            dparams = tuple(
+                jnp.zeros_like(p) for p in bias_params
+            )
+        else:
+            dparams = assemble_vjp(dbias.astype(bias.dtype))
+        return (dq, dk, dv, *dparams)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
                               pallas_bwd: bool = True):
     """Dense attention with custom VJP. Forward: fused Pallas kernel (the
@@ -786,91 +828,101 @@ def make_fused_full_attention(num_heads: int, use_pallas: bool = True,
     Pallas kernel when the shape fits ``supported_bwd``, else XLA recompute
     from the saved inputs."""
 
-    def _forward(q, k, v, bias, with_lse=False):
-        """Tier choice: whole-image kernel when it fits, else the q-tiled
-        kernel (huge N, bias streamed), else the XLA reference."""
-        B, N, C = q.shape
-        if supported(B, N, C, num_heads, bias is not None):
-            return _pallas_forward(q, k, v, bias, num_heads,
-                                   with_lse=with_lse)
-        if supported_tiled(B, N, C, num_heads, bias is not None):
-            return _pallas_forward_tiled(q, k, v, num_heads, bias=bias,
-                                         with_lse=with_lse)
-        out = _xla_reference(q, k, v, bias, num_heads)
-        return (out, None) if with_lse else out
-
     @jax.custom_vjp
     def fused(q, k, v, bias):
         if use_pallas:
-            return _forward(q, k, v, bias)
+            return _forward_dispatch(q, k, v, bias, num_heads)
         return _xla_reference(q, k, v, bias, num_heads)
 
     def fwd(q, k, v, bias):
-        B, N, C = q.shape
-        has_bias = bias is not None
-        fused_bwd = (
-            use_pallas
-            and pallas_bwd
-            and supported(B, N, C, num_heads, has_bias)
-            and supported_bwd(B, N, C, num_heads, has_bias)
-        )
-        tiled_bwd = (
-            use_pallas
-            and pallas_bwd
-            and not fused_bwd
-            and not supported(B, N, C, num_heads, has_bias)
-            and supported_tiled(B, N, C, num_heads, has_bias)
-            and supported_bwd_tiled(B, N, C, num_heads, has_bias)
-        )
-        if fused_bwd:
-            out, lse = _pallas_forward(
-                q, k, v, bias, num_heads, with_lse=True
-            )
-            return out, (q, k, v, bias, lse)
-        if tiled_bwd:
-            out, lse = _pallas_forward_tiled(
-                q, k, v, num_heads, bias=bias, with_lse=True
-            )
-            return out, (q, k, v, bias, lse)
-        out = (
-            _forward(q, k, v, bias)
-            if use_pallas
-            else _xla_reference(q, k, v, bias, num_heads)
-        )
-        return out, (q, k, v, bias, None)
+        return _fused_fwd_parts(q, k, v, bias, num_heads, use_pallas,
+                                pallas_bwd)
 
     def bwd(res, g):
-        q, k, v, bias, lse = res
-        if lse is not None:
-            B, N, C = q.shape
-            # the forward's tier choice is a pure function of the shapes —
-            # re-derive which backward the stashed lse belongs to
-            if supported(B, N, C, num_heads, bias is not None):
-                grads = _pallas_backward(q, k, v, g, lse, bias, num_heads)
-                dq, dk, dv = grads[:3]
-                dbias = (
-                    grads[3].astype(bias.dtype) if bias is not None else None
-                )
-                return dq, dk, dv, dbias
-            grads = _pallas_backward_tiled(
-                q, k, v, g, lse, num_heads, bias=bias
-            )
-            dq, dk, dv = grads[:3]
-            dbias = grads[3].astype(bias.dtype) if bias is not None else None
-            return dq, dk, dv, dbias
-
-        diff_args = tuple(a for a in (q, k, v, bias) if a is not None)
-
-        def wrapped(*args):
-            it = iter(args)
-            full = [next(it) if a is not None else None for a in (q, k, v, bias)]
-            return _xla_reference(*full, num_heads)
-
-        _, vjp = jax.vjp(wrapped, *diff_args)
-        grads = iter(vjp(g))
-        return tuple(
-            next(grads) if a is not None else None for a in (q, k, v, bias)
-        )
+        return _fused_bwd_parts(res, g, num_heads, use_pallas)
 
     fused.defvjp(fwd, bwd)
     return fused
+
+
+def _forward_dispatch(q, k, v, bias, num_heads, with_lse=False):
+    """Tier choice: whole-image kernel when it fits, else the q-tiled
+    kernel (huge N, bias streamed), else the XLA reference."""
+    B, N, C = q.shape
+    if supported(B, N, C, num_heads, bias is not None):
+        return _pallas_forward(q, k, v, bias, num_heads, with_lse=with_lse)
+    if supported_tiled(B, N, C, num_heads, bias is not None):
+        return _pallas_forward_tiled(q, k, v, num_heads, bias=bias,
+                                     with_lse=with_lse)
+    out = _xla_reference(q, k, v, bias, num_heads)
+    return (out, None) if with_lse else out
+
+
+def _fused_fwd_parts(q, k, v, bias, num_heads, use_pallas, pallas_bwd):
+    """Shared custom-VJP forward: returns (out, (q, k, v, bias, lse))."""
+    B, N, C = q.shape
+    has_bias = bias is not None
+    fused_bwd = (
+        use_pallas
+        and pallas_bwd
+        and supported(B, N, C, num_heads, has_bias)
+        and supported_bwd(B, N, C, num_heads, has_bias)
+    )
+    tiled_bwd = (
+        use_pallas
+        and pallas_bwd
+        and not fused_bwd
+        and not supported(B, N, C, num_heads, has_bias)
+        and supported_tiled(B, N, C, num_heads, has_bias)
+        and supported_bwd_tiled(B, N, C, num_heads, has_bias)
+    )
+    if fused_bwd:
+        out, lse = _pallas_forward(q, k, v, bias, num_heads, with_lse=True)
+        return out, (q, k, v, bias, lse)
+    if tiled_bwd:
+        out, lse = _pallas_forward_tiled(
+            q, k, v, num_heads, bias=bias, with_lse=True
+        )
+        return out, (q, k, v, bias, lse)
+    out = (
+        _forward_dispatch(q, k, v, bias, num_heads)
+        if use_pallas
+        else _xla_reference(q, k, v, bias, num_heads)
+    )
+    return out, (q, k, v, bias, None)
+
+
+def _fused_bwd_parts(res, g, num_heads, use_pallas):
+    """Shared custom-VJP backward: returns (dq, dk, dv, dbias|None)."""
+    q, k, v, bias, lse = res
+    if lse is not None:
+        B, N, C = q.shape
+        # the forward's tier choice is a pure function of the shapes —
+        # re-derive which backward the stashed lse belongs to
+        if supported(B, N, C, num_heads, bias is not None):
+            grads = _pallas_backward(q, k, v, g, lse, bias, num_heads)
+            dq, dk, dv = grads[:3]
+            dbias = (
+                grads[3].astype(bias.dtype) if bias is not None else None
+            )
+            return dq, dk, dv, dbias
+        grads = _pallas_backward_tiled(
+            q, k, v, g, lse, num_heads, bias=bias
+        )
+        dq, dk, dv = grads[:3]
+        dbias = grads[3].astype(bias.dtype) if bias is not None else None
+        return dq, dk, dv, dbias
+
+    diff_args = tuple(a for a in (q, k, v, bias) if a is not None)
+
+    def wrapped(*args):
+        it = iter(args)
+        full = [next(it) if a is not None else None for a in (q, k, v, bias)]
+        return _xla_reference(*full, num_heads)
+
+    _, vjp = jax.vjp(wrapped, *diff_args)
+    grads = iter(vjp(g))
+    out = tuple(
+        next(grads) if a is not None else None for a in (q, k, v, bias)
+    )
+    return out if len(out) == 4 else out + (None,)

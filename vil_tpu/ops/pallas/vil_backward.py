@@ -107,13 +107,9 @@ def _probs_lse(scores, lse_row, dtype):
     MXU either way."""
     from . import vil_kernel
 
+    # FAST_MAX applies only to the non-LSE (inference) forward, so every
+    # stashed LSE comes from an exact max and z ≤ 0 unconditionally
     z = scores - lse_row[..., None]
-    if vil_kernel.FAST_MAX:
-        # under the center-block forward max, a fully-masked-center PADDING
-        # row's LSE is no longer ≥ its row max — clamp keeps the recompute
-        # finite there (p·(dp−δ) = finite·0 = 0, not inf·0 = NaN); inert
-        # for every valid row, matching the forward's clamp
-        z = jnp.minimum(z, jnp.asarray(vil_kernel.FAST_MAX_CLAMP, z.dtype))
     if vil_kernel.BF16_EXP and dtype == jnp.bfloat16:
         return jnp.exp(z.astype(jnp.bfloat16))
     return jnp.exp(z)

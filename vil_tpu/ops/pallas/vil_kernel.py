@@ -185,21 +185,37 @@ KV_RES_VMEM_BYTES = 88 * 2**20
 
 _NEG_INF = float(np.finfo(np.float32).min) / 2
 
-# CENTER-BLOCK softmax max (r5). The row-max was the single most expensive
-# VPU pass of the stage-1 forward (0.87 of 3.28 ms device-clock, r4
-# ablation) — and softmax is shift-invariant: ANY overflow-safe subtrahend
-# is exact (the deferred normalization divides it out, and the stashed
-# LSE = m + log Σexp(s−m) is invariant in m). The 9W²-wide reduce is
-# replaced by a reduce over the W² CENTER-block columns (SELF_BLOCK's slice
-# in TAIL order): the self column always sits there and is never masked for
-# a valid query, so the center max trails the true max by at most the
-# finite score range (~tens). exp then runs on min(s − m, CLAMP): for every
-# valid row the clamp is inert (gap < CLAMP ⇒ bitwise-identical math up to
-# the shared shift); it only engages on fully-padding query rows whose
-# center block is entirely masked — rows whose outputs are discarded — and
-# turns their would-be inf/NaN into large-but-finite values (exp(80)
-# ≈ 5.5e34 < bf16/f32 max; 442-column f32 denominators stay ≤ 2.4e37).
-FAST_MAX = _os.environ.get("VIL_TPU_FAST_MAX", "1") == "1"
+# CENTER-BLOCK softmax max (r5), INFERENCE path only. The row-max was the
+# single most expensive VPU pass of the stage-1 forward (0.87 of 3.28 ms
+# device-clock, r4 ablation) — and softmax is shift-invariant: ANY
+# overflow-safe subtrahend is exact (the deferred normalization divides it
+# out). The 9W²-wide reduce is replaced by a reduce over the W² CENTER-
+# block columns (SELF_BLOCK's slice in TAIL order): the self column always
+# sits there and is never masked for a valid query, so the center max
+# trails the true max by at most the finite score range (~tens). exp then
+# runs on min(s − m, CLAMP): for every valid row the clamp is inert
+# (gap < CLAMP ⇒ identical math up to the shared shift); it only engages
+# on fully-padding query rows whose center block is entirely masked — rows
+# whose outputs are discarded — and turns their would-be inf/NaN into
+# large-but-finite values (exp(80) ≈ 5.5e34 < f32 max; 442-column f32
+# denominators stay ≤ 2.4e37).
+#
+# MEASURED DEAD END (r5, default OFF). Chip A/Bs, stage-1 kernel_bench +
+# model level:
+#   variant A (bf16 exp input): 3.278 → 3.151 ms (+4%), inference 6755 →
+#     6924 img/s (+2.5%) — but the shifted scores sit at +gap instead of
+#     0, where bf16's ABSOLUTE rounding costs ~gap/256 relative prob error
+#     (kernel-vs-xla 1.6e-2 → 8.5e-2 at unit scale): a 5× eval-numerics
+#     degradation for +2.5%.
+#   variant B (f32 exp input, accuracy-neutral): 3.278 → 3.329 ms — the
+#     f32 exp pass costs more than the narrowed max reduce saves.
+#   train path: −0.9% step A/B, and the extra f32 shifted-score
+#     temporaries grew the per-row Mosaic live set past the KV-resident
+#     tier's scope at 512² (115 MB vs a 110 MB limit).
+# The machinery stays behind VIL_TPU_FAST_MAX=1 (inference/non-LSE path
+# only — stashed LSEs are always exact-max so backward one-exp recomputes
+# keep z = s − lse ≤ 0 unconditionally) with full parity tests.
+FAST_MAX = _os.environ.get("VIL_TPU_FAST_MAX", "0") == "1"
 FAST_MAX_CLAMP = 80.0
 
 
@@ -311,6 +327,7 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
                 if bias_grp is not None:
                     scores = scores + bias_grp[gidx][None]
                 scores = scores + (mask2 if G == 2 else mask)
+        fast = FAST_MAX and lse_out is None  # center-block max: inference only
         if ABLATE == "nosm":
             probs = scores.astype(q_g.dtype)
             m = jnp.zeros(scores.shape[:-1] + (1,), jnp.float32)
@@ -332,7 +349,7 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
                     # work) composes with it. f32 inputs (CPU/golden-parity
                     # path) keep the f32 reduce.
                     red = scores
-                    if FAST_MAX:
+                    if fast:
                         # the SELF block's column slice (the column axis is
                         # shared across a pair's stacked query rows);
                         # ``center_part`` = 4 in TAIL part order, or the
@@ -354,7 +371,7 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
             # matmul actually consumes
             with _scope("softmax_exp"):
                 shifted = scores - m
-                if FAST_MAX and ABLATE != "nomax":
+                if fast and ABLATE != "nomax":
                     # inert for valid rows (center max trails the true max
                     # by ≪ CLAMP); keeps fully-masked-center padding rows
                     # finite (their outputs are discarded downstream)
@@ -368,7 +385,7 @@ def _attend_row(q_row, k_cat, v_cat, bias_grp, mask, mask2,
                 # unit scale), while the packed-bf16 exp is speed-NEUTRAL
                 # (r2 A/B) — so keep the exp input f32 whenever FAST_MAX
                 # shifts the window
-                if BF16_EXP and q_g.dtype == jnp.bfloat16 and not FAST_MAX:
+                if BF16_EXP and q_g.dtype == jnp.bfloat16 and not fast:
                     probs = jnp.exp(shifted.astype(jnp.bfloat16))
                 else:
                     probs = jnp.exp(shifted).astype(q_g.dtype)
