@@ -115,8 +115,11 @@ def _median_spread(samples: list[float]) -> tuple[float, float]:
 
 def measure(batch: int, repeats: int = 5) -> tuple[float, float]:
     """Returns (median img/s, relative spread) over ``repeats`` serialized
-    two-point measurements."""
-    iters_a, iters_b = 4, 20
+    two-point measurements. The wider 8/40 iteration pair (vs r4's 4/20)
+    halves the per-sample noise the two-point difference inherits from the
+    tunnel RTT jitter — the r5 target is a spread the kernel-delta claims
+    can clear."""
+    iters_a, iters_b = 8, 40
     model, variables, x = build_model_and_vars(batch)
 
     run_a = make_chained_forward(model, iters_a)
@@ -183,7 +186,7 @@ def measure_train(batch: int, repeats: int = 3) -> tuple[float, float]:
         float(run(state, jnp.int32(iters)))
         return time.time() - t0
 
-    iters_a, iters_b = 3, 12
+    iters_a, iters_b = 5, 20
     timed(iters_a)  # compile + warmup
     samples = []
     for _ in range(repeats):

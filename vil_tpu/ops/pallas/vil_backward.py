@@ -1088,11 +1088,13 @@ def _loop_vmem_bytes(mx, my, w2, C, H, nglo, has_bias, itemsize, ncls):
     temp_rows = sum(5 * my * len(g) * w2 * cols * 4 for g in groups)
     comb_bytes = (H if has_bias else 1) * ncls * my * w2 * cols * 4
     n_pair = sum(1 for g in groups if len(g) == 2)
-    if n_pair:  # pair tables stack the two heads' rows
-        comb_bytes = (
-            (2 * n_pair + (H % 2) if has_bias else 2) * ncls * my * w2
-            * cols * 4
-        )
+    if n_pair:
+        # pair tables stack the two heads' rows (2·w2 wide); an ODD head
+        # count adds the singleton table too — the old `else 2` missed it
+        # and let the 512² 19×19 stage-1 shape through a tier whose actual
+        # Mosaic stack (114.9 MB) blew the 110 MB scope
+        mult = (2 * n_pair + (H % 2)) if has_bias else (2 + (H % 2))
+        comb_bytes = mult * ncls * my * w2 * cols * 4
     img = mx * my * w2 * C
     return (
         temp_rows
