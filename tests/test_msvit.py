@@ -217,3 +217,37 @@ def test_gelu_flavor_follows_compute_dtype():
             out_forced = forced.apply(v, x.astype(dtype), True)
             same = bool(jnp.all(out_auto == out_forced))
             assert same == (approx == expect_approx), (dtype, approx)
+
+
+def test_toeplitz_rpe_assembly_matches_gather():
+    """The conv/Toeplitz RPE assembly (r5: identity-kernel extract-patches,
+    whose VJP is a conv wgrad instead of the scatter-add that was 34% of
+    the RPE-384 train step) must match the reference gather BITWISE on
+    values and to f32 tolerance on table grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vil_tpu.models.attention import _toeplitz_local_bias
+    from vil_tpu.ops import rpe as rpe_lib
+
+    for wx, wy, H in [(4, 4, 3), (7, 5, 2), (14, 14, 6)]:
+        nrel = (2 * wx - 1) * (2 * wy - 1)
+        table = jax.random.normal(jax.random.PRNGKey(0), (nrel, H))
+        idx = jnp.asarray(rpe_lib.full_rpe_index(wx, wy))
+
+        def gather(t):
+            return t[idx.reshape(-1)].reshape(
+                wx * wy, wx * wy, H
+            ).transpose(2, 0, 1)
+
+        ref = gather(table)
+        got = _toeplitz_local_bias(wx, wy, H, table)
+        assert float(jnp.max(jnp.abs(got - ref))) == 0.0
+
+        g = jax.random.normal(jax.random.PRNGKey(2), ref.shape)
+        gc = jax.grad(lambda t: jnp.sum(_toeplitz_local_bias(wx, wy, H, t) * g))(table)
+        gg = jax.grad(lambda t: jnp.sum(gather(t) * g))(table)
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(gg), rtol=1e-6, atol=1e-5
+        )
