@@ -228,7 +228,10 @@ def test_toeplitz_rpe_assembly_matches_gather():
     import jax.numpy as jnp
     import numpy as np
 
-    from vil_tpu.models.attention import _toeplitz_local_bias
+    from vil_tpu.models.attention import (
+        _skew_local_bias,
+        _toeplitz_local_bias,
+    )
     from vil_tpu.ops import rpe as rpe_lib
 
     for wx, wy, H in [(4, 4, 3), (7, 5, 2), (14, 14, 6)]:
@@ -242,12 +245,13 @@ def test_toeplitz_rpe_assembly_matches_gather():
             ).transpose(2, 0, 1)
 
         ref = gather(table)
-        got = _toeplitz_local_bias(wx, wy, H, table)
-        assert float(jnp.max(jnp.abs(got - ref))) == 0.0
+        for fn in (_skew_local_bias, _toeplitz_local_bias):
+            got = fn(wx, wy, H, table)
+            assert float(jnp.max(jnp.abs(got - ref))) == 0.0, fn
 
-        g = jax.random.normal(jax.random.PRNGKey(2), ref.shape)
-        gc = jax.grad(lambda t: jnp.sum(_toeplitz_local_bias(wx, wy, H, t) * g))(table)
-        gg = jax.grad(lambda t: jnp.sum(gather(t) * g))(table)
-        np.testing.assert_allclose(
-            np.asarray(gc), np.asarray(gg), rtol=1e-6, atol=1e-5
-        )
+            g = jax.random.normal(jax.random.PRNGKey(2), ref.shape)
+            gc = jax.grad(lambda t: jnp.sum(fn(wx, wy, H, t) * g))(table)
+            gg = jax.grad(lambda t: jnp.sum(gather(t) * g))(table)
+            np.testing.assert_allclose(
+                np.asarray(gc), np.asarray(gg), rtol=1e-6, atol=1e-5
+            )

@@ -128,6 +128,43 @@ def _toeplitz_local_bias(wx: int, wy: int, H: int,
     return rev.transpose(0, 3, 4, 1, 2).reshape(H, wx * wy, wx * wy)
 
 
+def _skew(t: jax.Array, n: int) -> jax.Array:
+    """(..., 2n−1) → (..., n, n) with out[..., i, j] = t[..., i−j+n−1] —
+    the Transformer-XL/Music-Transformer SKEW trick: reverse, tile, pad
+    one column, reflow rows with a stride of 2n−1, slice. Pure
+    broadcast/pad/reshape/slice, so the VJP is slice/pad/reduce — no
+    gather and, crucially, no scatter in the transpose."""
+    lead = t.shape[:-1]
+    rev = t[..., ::-1]
+    tiled = jnp.broadcast_to(rev[..., None, :], (*lead, n, 2 * n - 1))
+    padded = jnp.pad(
+        tiled, [(0, 0)] * len(lead) + [(0, 0), (0, 1)]
+    )  # (..., n, 2n)
+    flat = padded.reshape(*lead, n * 2 * n)[..., : n * (2 * n - 1)]
+    skewed = flat.reshape(*lead, n, 2 * n - 1)
+    return skewed[..., n - 1 :]
+
+
+def _skew_local_bias(wx: int, wy: int, H: int,
+                     table: jax.Array) -> jax.Array:
+    """(H, wx·wy, wx·wy) local RPE bias via two nested 1-D SKEWs instead
+    of the row gather: bias[h,(xi,yi),(xj,yj)] = T2d[h, xi−xj+wx−1,
+    yi−yj+wy−1] separates into an x-skew then a y-skew. All data movement
+    is bandwidth-bound pad/reshape (the conv formulation measured 15×
+    slower than even the gather; the gather's scatter-add VJP was 34% of
+    the RPE-384 train step)."""
+    t2d = table.reshape(2 * wx - 1, 2 * wy - 1, H)
+    # x first: (H, Y, X) → (H, Y, wx, wx) with [h, y, xi, xj]
+    tx = t2d.transpose(2, 1, 0)  # (H, Y, X)
+    ax = _skew(tx, wx)  # (H, Y, wx, wx)
+    # y: (H, wx, wx, Y) → (H, wx, wx, wy, wy) with [h, xi, xj, yi, yj]
+    ay = _skew(ax.transpose(0, 2, 3, 1), wy)
+    # → (h, xi, yi, xj, yj) → (H, n_loc, n_loc)
+    return ay.transpose(0, 1, 3, 2, 4).reshape(
+        H, wx * wy, wx * wy
+    )
+
+
 def _assemble_full_rpe_bias(wx: int, wy: int, nglo: int, H: int,
                             table: jax.Array, g2l: jax.Array = None,
                             g2g: jax.Array = None) -> jax.Array:
@@ -135,18 +172,30 @@ def _assemble_full_rpe_bias(wx: int, wy: int, nglo: int, H: int,
     (msvit.py:72-114) from the parameter leaves — factored out of
     FullAttention so the fused dense attention's custom VJP can
     rematerialize it instead of saving the assembled tensor (403 MB per
-    block at 1024² stage 3). The local part uses the Toeplitz/conv
-    expansion (see _toeplitz_local_bias); VIL_TPU_RPE_GATHER=1 restores
-    the gather path for A/Bs."""
+    block at 1024² stage 3). VIL_TPU_RPE_ASSEMBLY selects the local-part
+    construction:
+      'skew' (default) — nested 1-D skew reshapes (_skew_local_bias): no
+        gather, and the VJP is slice/reduce instead of the SCATTER-ADD
+        that was 34% of the RPE-384 train step;
+      'gather' — the reference-shaped row gather (scatter-add VJP);
+      'conv' — identity-kernel extract-patches (MEASURED 15× slower than
+        the gather on this backend: RPE-384 train 151.6 → 32.8 img/s —
+        kept for re-measurement on future toolchains)."""
     import os as _os
 
-    if _os.environ.get("VIL_TPU_RPE_GATHER", "0") == "1":
-        idx = jnp.asarray(rpe_lib.full_rpe_index(wx, wy))
-        local_bias = table[idx.reshape(-1)].reshape(
-            wx * wy, wx * wy, H
-        ).transpose(2, 0, 1)  # (H, Nloc, Nloc)
-    else:
+    mode = _os.environ.get("VIL_TPU_RPE_ASSEMBLY", "skew")
+    if mode == "conv":
         local_bias = _toeplitz_local_bias(wx, wy, H, table)
+    elif mode == "gather":
+        # gather with H MAJOR: a (N², H) result gets its minor dim padded
+        # 6 → 128 lanes on TPU (measured 21.3× expansion — an 8 GB temp at
+        # 1024², the allocation that OOMed RPE training there)
+        idx = jnp.asarray(rpe_lib.full_rpe_index(wx, wy))
+        local_bias = jnp.take(table.T, idx.reshape(-1), axis=1).reshape(
+            H, wx * wy, wx * wy
+        )
+    else:
+        local_bias = _skew_local_bias(wx, wy, H, table)
     if nglo > 0:
         nloc = wx * wy
         # rows for global queries: [g2g ‖ g2l[0]·1_Nloc]
