@@ -183,7 +183,22 @@ class MlpBlock(nn.Module):
             assert out_dim == self.dim, "dim change unsupported in chunk layout"
             x_glo, x_img = x
             y_glo = None if x_glo is None else mlp(norm(x_glo), deterministic)
-            y_img = mlp(norm(x_img), deterministic)
+            import os as _os
+
+            if _os.environ.get("VIL_TPU_FLAT_MLP", "0") == "1":
+                # A/B knob: run the MLP on a flattened (B, L, C) view — the
+                # 5-D chunked shapes carry pallas-pinned layouts and their
+                # MLP GEMMs lower as generic fusions (22.1 ms = 45% of the
+                # 512² train step; ~6× the FLOP floor at stage-1 shapes).
+                # A contiguous merge is layout-free IF XLA agrees; if it
+                # inserts relayout copies instead, this loses (the
+                # FLAT_OPT lesson) — measured, not assumed.
+                B, mx, my, w2, C = x_img.shape
+                y_img = mlp(
+                    norm(x_img.reshape(B, mx * my * w2, C)), deterministic
+                ).reshape(B, mx, my, w2, C)
+            else:
+                y_img = mlp(norm(x_img), deterministic)
             y_glo, y_img = droppath((y_glo, y_img), deterministic)
             return (
                 None if x_glo is None else x_glo + y_glo,
