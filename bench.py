@@ -102,23 +102,26 @@ def timed_fetch(fn, variables, x) -> float:
     return time.time() - t0
 
 
-def _median_spread(samples: list[float]) -> tuple[float, float]:
-    """Median throughput and relative spread ((max−min)/median) over the
-    valid samples — the r4 verdict's ask: best-of-N with no spread made
-    regression, noise, and improvement indistinguishable in the artifact."""
+def _median_spread(samples: list[float]) -> tuple[float, float, int]:
+    """(median, relative spread (max−min)/median, n valid samples) — the r4
+    verdict's ask: best-of-N with no spread made regression, noise, and
+    improvement indistinguishable in the artifact. The sample COUNT is
+    carried too: a tunnel-hiccup run surviving on one valid sample would
+    otherwise report spread 0.0 and look maximally stable exactly when the
+    measurement was noisiest."""
     import statistics
 
     med = statistics.median(samples)
     spread = (max(samples) - min(samples)) / med if med > 0 else 0.0
-    return med, spread
+    return med, spread, len(samples)
 
 
-def measure(batch: int, repeats: int = 5) -> tuple[float, float]:
-    """Returns (median img/s, relative spread) over ``repeats`` serialized
-    two-point measurements. The wider 8/40 iteration pair (vs r4's 4/20)
-    halves the per-sample noise the two-point difference inherits from the
-    tunnel RTT jitter — the r5 target is a spread the kernel-delta claims
-    can clear."""
+def measure(batch: int, repeats: int = 5) -> tuple[float, float, int]:
+    """Returns (median img/s, relative spread, n valid samples) over
+    ``repeats`` serialized two-point measurements. The wider 8/40 iteration
+    pair (vs r4's 4/20) halves the per-sample noise the two-point
+    difference inherits from the tunnel RTT jitter — the r5 target is a
+    spread the kernel-delta claims can clear."""
     iters_a, iters_b = 8, 40
     model, variables, x = build_model_and_vars(batch)
 
@@ -129,12 +132,14 @@ def measure(batch: int, repeats: int = 5) -> tuple[float, float]:
     timed_fetch(run_b, variables, x)
 
     samples = []
-    for _ in range(repeats):
+    for _ in range(2 * repeats):  # keep sampling past tunnel hiccups
         ta = timed_fetch(run_a, variables, x)
         tb = timed_fetch(run_b, variables, x)
         per_iter = (tb - ta) / (iters_b - iters_a)
         if per_iter > 0:  # tunnel hiccups can invert the two-point pair
             samples.append(batch / per_iter)
+        if len(samples) >= repeats:
+            break
     if not samples:
         raise RuntimeError("no valid two-point samples")
     return _median_spread(samples)
@@ -189,11 +194,13 @@ def measure_train(batch: int, repeats: int = 3) -> tuple[float, float]:
     iters_a, iters_b = 5, 20
     timed(iters_a)  # compile + warmup
     samples = []
-    for _ in range(repeats):
+    for _ in range(2 * repeats):
         ta, tb = timed(iters_a), timed(iters_b)
         per = (tb - ta) / (iters_b - iters_a)
         if per > 0:
             samples.append(batch / per)
+        if len(samples) >= repeats:
+            break
     if not samples:
         raise RuntimeError("no valid two-point samples")
     return _median_spread(samples)
@@ -211,9 +218,9 @@ def main():
 
     if "--sweep" in sys.argv:
         for batch in (64, 128, 256):
-            v, spread = measure(batch)
-            print(f"batch {batch}: {v:.1f} img/s (spread {spread:.1%})",
-                  flush=True)
+            v, spread, n = measure(batch)
+            print(f"batch {batch}: {v:.1f} img/s (spread {spread:.1%}, "
+                  f"n={n})", flush=True)
         return
 
     # compiled-kernel numerics evidence: fused Pallas fwd+VJP vs the XLA
@@ -243,7 +250,7 @@ def main():
     # batch sweep (r2, quiet machine): 64 → 5599, 128 → 5051, 256 → 4853
     # img/s; 64 wins for inference too (matches the training sweet spot)
     batch = 64
-    images_per_sec, spread = measure(batch)
+    images_per_sec, spread, n_samples = measure(batch)
     # achieved model FLOP/s (analytic 2·MACs, ops/flops.py) and MFU against
     # the chip's peak bf16 matmul rate — assumption-free, unlike vs_baseline
     tf_img = analytic_tflops_per_image()
@@ -253,11 +260,11 @@ def main():
     # training throughput in the same artifact (fwd+bwd+adamw+mixup): train
     # FLOPs ≈ 3× inference (backward ≈ 2× forward), so train MFU uses 3·tf_img
     try:
-        train_img_s, train_spread = measure_train(batch)
+        train_img_s, train_spread, train_n = measure_train(batch)
         train_tflops = train_img_s * 3.0 * tf_img
     except Exception as e:  # never block the inference line
         print(f"train bench failed to run: {e!r}", file=__import__("sys").stderr)
-        train_img_s = train_tflops = train_spread = None
+        train_img_s = train_tflops = train_spread = train_n = None
     print(
         json.dumps(
             {
@@ -274,6 +281,7 @@ def main():
                 ),
                 "batch": batch,
                 "spread": round(spread, 4),
+                "n_samples": n_samples,
                 "tflops": round(tflops, 2),
                 "mfu": round(tflops / peak, 4),
                 "train_img_s": (
@@ -283,6 +291,7 @@ def main():
                     round(train_spread, 4)
                     if train_spread is not None else None
                 ),
+                "train_n_samples": train_n,
                 "train_mfu": (
                     round(train_tflops / peak, 4) if train_tflops else None
                 ),

@@ -22,7 +22,9 @@ exec >> "$LOG" 2>&1
 echo "=== tpu_queue $QUEUE start $(date) ==="
 n=0
 while IFS= read -r cmd || [ -n "$cmd" ]; do
-    case "$cmd" in ''|'#'*) continue;; esac
+    # strip leading whitespace so indented comments/blank lines skip too
+    trimmed="${cmd#"${cmd%%[![:space:]]*}"}"
+    case "$trimmed" in ''|'#'*) continue;; esac
     n=$((n + 1))
     echo "--- [$n] $cmd ($(date +%T)) ---"
     t0=$SECONDS

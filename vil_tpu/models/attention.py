@@ -254,13 +254,21 @@ class FullAttention(nn.Module):
         )(x)
 
         bias_params = None
-        bias = None
         if self.rpe:
             assert N == self.nglo + self.wx * self.wy, (
                 "For relative position, N != nglo + wx*wy"
             )
             bias_params = self._rpe_params(H)
-            bias = _assemble_full_rpe_bias(
+
+        def _bias():
+            """Assembled only on the branches that consume it — the fused
+            RPE path assembles inside its custom VJP instead, and an eager
+            top-level assembly would materialize the (H, N, N) tensor
+            (403 MB/block at 1024²) even where DCE can't run (non-jit
+            apply, interpret-mode debugging)."""
+            if bias_params is None:
+                return None
+            return _assemble_full_rpe_bias(
                 self.wx, self.wy, self.nglo, H, *bias_params
             )
 
@@ -279,20 +287,22 @@ class FullAttention(nn.Module):
             and not attn_drop_active
             and (
                 full_attention.supported(
-                    B, N, C // n_loc, H // n_loc, bias is not None
+                    B, N, C // n_loc, H // n_loc, self.rpe
                 )
-                # huge-N escape (1024² s=0 stages): q-tiled kernel, bias-free
+                # huge-N escape (1024² s=0 stages): q-tiled kernel, bias
+                # streamed when RPE
                 or full_attention.supported_tiled(
-                    B, N, C // n_loc, H // n_loc, bias is not None
+                    B, N, C // n_loc, H // n_loc, self.rpe
                 )
             )
             and (jax.default_backend() == "tpu" or full_attention.INTERPRET)
         ):
             q_tok, k_tok, v_tok = jnp.split(qkv, 3, axis=-1)
-            bias_f = None if bias is None else bias.astype(jnp.float32)
             if head_shard:
                 from jax.sharding import PartitionSpec as P
 
+                bias = _bias()
+                bias_f = None if bias is None else bias.astype(jnp.float32)
                 fused = full_attention.make_fused_full_attention(H // n_loc)
                 tok = P(_tp_batch_axis(self.tp_mesh, B), None, self.tp_axis)
                 out = _tp_shard_call(
@@ -316,7 +326,7 @@ class FullAttention(nn.Module):
                 out = fused(q_tok * scale, k_tok, v_tok, *bias_params)
             else:
                 fused = full_attention.make_fused_full_attention(H)
-                out = fused(q_tok * scale, k_tok, v_tok, bias_f)
+                out = fused(q_tok * scale, k_tok, v_tok, None)
             out = nn.Dense(
                 self.dim,
                 dtype=self.dtype,
@@ -334,6 +344,7 @@ class FullAttention(nn.Module):
             "bhnm,bhtm->bhnt", q, k, preferred_element_type=jnp.float32
         ) * scale
 
+        bias = _bias()
         if bias is not None:
             attn = attn + bias[None].astype(attn.dtype)
 

@@ -256,7 +256,7 @@ def _env_tile(name: str, N: int) -> Optional[int]:
     default regardless of order). No VMEM check — sweep values must fit
     the raised scope or Mosaic rejects the kernel. Read at TRACE time: the
     jit cache does not key on the env var, so sweeps must use one process
-    per setting (tools/tpu_ab_queue.sh does)."""
+    per setting (tools/tpu_queue.sh runs queue files that way)."""
     v = os.environ.get(name, "")
     if not v:
         return None
@@ -274,18 +274,23 @@ def _env_tile(name: str, N: int) -> Optional[int]:
     return default
 
 
-def _pick_tile_q(N: int, C: int, num_heads: int,
-                 has_bias: bool = False) -> Optional[int]:
+def _pick_tile_q(N: int, C: int, num_heads: int, has_bias: bool = False,
+                 with_lse: bool = True) -> Optional[int]:
     """Largest query tile whose VMEM estimate fits the raised (100 MB −
     margin) scope: K/V resident (×2 buffers) + per-head (TQ, N) f32+bf16
     score temporaries ×num_heads (static head unroll — Mosaic keeps every
     head's stack slots live, vil_kernel's row-unroll lesson) + the
-    streamed (H, TQ, N) f32 bias tile when biased."""
-    # Mosaic requires block last-dims divisible by (8, 128) or full: the
-    # (1, H, TQ) lse OUTPUT tile puts TQ on the lane axis, so forward tiles
-    # must be multiples of 128 (the backward escapes this with a transposed
-    # lse layout — see _pallas_backward_tiled)
-    for tq in (512, 384, 256, 128):
+    streamed (H, TQ, N) f32 bias tile when biased.
+
+    Mosaic requires block last-dims divisible by (8, 128) or full: the
+    (1, H, TQ) lse OUTPUT tile puts TQ on the lane axis, so with_lse
+    (train) tiles must be multiples of 128; without the lse stash
+    (inference) the out tile (1, TQ, C) only needs TQ % 8 == 0, so sub-128
+    fallbacks stay available. Tier GATING (supported_tiled) uses the
+    conservative with_lse=True list so one shape never splits tiers
+    between train and inference."""
+    cands = (512, 384, 256, 128) if with_lse else (512, 384, 256, 128, 64, 32)
+    for tq in cands:
         est = (
             2 * 2 * N * C * 2        # k, v resident ×2 pipeline buffers
             + 2 * 2 * tq * C * 2     # q, out tiles ×2 buffers
@@ -316,7 +321,7 @@ def _pallas_forward_tiled(
     if interpret is None:
         interpret = INTERPRET
     tq = (tile_q or _env_tile("VIL_TPU_DENSE_TILE_Q", N)
-          or _pick_tile_q(N, C, num_heads, has_bias))
+          or _pick_tile_q(N, C, num_heads, has_bias, with_lse=with_lse))
     npad = -(-N // tq) * tq
     if npad != N:
         q = jnp.pad(q, ((0, 0), (0, npad - N), (0, 0)))
@@ -485,10 +490,13 @@ DBIAS_PARTIAL_HBM_BUDGET_BYTES = 3 * 2**30
 
 def supported_bwd_tiled(B: int, N: int, C: int, num_heads: int,
                         has_bias: bool) -> bool:
-    if _pick_tile_q_bwd(N, C, num_heads, has_bias) is None:
+    tq = _pick_tile_q_bwd(N, C, num_heads, has_bias)
+    if tq is None:
         return False
     if has_bias:
-        tq = _pick_tile_q_bwd(N, C, num_heads, True)
+        # the guard uses the DEFAULT tile's npad; a VIL_TPU_DENSE_TILE_Q_BWD
+        # sweep that changes npad near the ceiling is expert-mode (the env
+        # override deliberately bypasses every fit check)
         npad = -(-N // tq) * tq
         if B * num_heads * npad * N * 4 > DBIAS_PARTIAL_HBM_BUDGET_BYTES:
             return False
@@ -922,7 +930,6 @@ def _fused_bwd_parts(res, g, num_heads, use_pallas):
 
     _, vjp = jax.vjp(wrapped, *diff_args)
     grads = iter(vjp(g))
-    out = tuple(
+    return tuple(
         next(grads) if a is not None else None for a in (q, k, v, bias)
     )
-    return out if len(out) == 4 else out + (None,)
