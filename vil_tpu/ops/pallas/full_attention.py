@@ -774,6 +774,8 @@ def supported_bwd(B: int, N: int, C: int, num_heads: int,
     (its pallas_call runs at a 96 MB Mosaic scope) so e.g. H=8/C=512 and
     H=6/C=384 RPE shapes @ N=577 engage; H=12/C=768 (base_wide) still
     estimates ~108 MB and keeps the XLA-recompute fallback."""
+    if has_bias and os.environ.get("VIL_TPU_NO_BIASED_BWD", "0") == "1":
+        return False  # A/B knob: force the XLA-recompute fallback
     itemsize = 2
     est = (
         7 * 2 * N * C * itemsize  # q, k, v, g, dq, dk, dv ×2 buffers
