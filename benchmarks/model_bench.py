@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the sitecustomize axon "
                          "plugin ignores JAX_PLATFORMS)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a device trace and print the per-op "
+                         "anatomy (tools/xplane.py)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -81,6 +84,25 @@ def main():
         return time.time() - t0
 
     t(ra), t(rb)
+
+    if args.profile:
+        # device-clocked per-op anatomy (tools/xplane.py), mirroring
+        # train_bench --profile
+        import glob
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        import xplane
+
+        with jax.profiler.trace(args.profile):
+            t(ra)
+        pb = sorted(glob.glob(
+            os.path.join(args.profile, "plugins/profile/*/*.xplane.pb")))[-1]
+        print(f"\nper-op device anatomy ({ia} chained forwards):")
+        for kind, cnt, ms in xplane.summarize(pb, topk=25):
+            print(f"  {ms / ia:9.3f} ms/fwd  {cnt / ia:6.1f}x  {kind}")
     best = float("inf")
     for _ in range(3):
         d = (t(rb) - t(ra)) / (ib - ia)
