@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a device trace and print the per-op "
                          "anatomy (tools/xplane.py)")
+    ap.add_argument("--rpe-cache", action="store_true",
+                    help="precompute the RPE biases once (serving mode — "
+                         "models.precompute_rpe_cache)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -60,15 +63,17 @@ def main():
         jax.random.PRNGKey(1), (args.batch, args.img, args.img, 3), jnp.float32
     )
     variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, x)
+    if args.rpe_cache:
+        from vil_tpu.models import precompute_rpe_cache
+
+        variables = precompute_rpe_cache(model, variables, x)
 
     def chained(iters):
         @jax.jit
         def run(v, x):
             def body(i, carry):
                 x_i = x * (1 + 1e-24 * carry).astype(x.dtype)
-                logits = model.apply(
-                    {"params": v["params"]}, x_i, deterministic=True
-                )
+                logits = model.apply(v, x_i, deterministic=True)
                 return carry + jnp.sum(logits).astype(jnp.float32) * 1e-30
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))

@@ -255,3 +255,49 @@ def test_toeplitz_rpe_assembly_matches_gather():
             np.testing.assert_allclose(
                 np.asarray(gc), np.asarray(gg), rtol=1e-6, atol=1e-5
             )
+
+
+def test_rpe_cache_inference():
+    """precompute_rpe_cache (r5 serving feature): bitwise-equal logits, no
+    cache created at init (a cache created there would silently serve the
+    init-time bias to eval-mid-training), table grads intact without the
+    cache, and rebuildable after parameter updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from vil_tpu.models import MsViT, precompute_rpe_cache
+
+    arch = ("l1,h1,d32,n1,s1,g1,p4,f4,a0_l2,h2,d64,n1,s1,g1,p2,f4,a0"
+            "_l3,h2,d64,n1,s0,g0,p2,f4,a0")
+    m = MsViT(arch=arch, img_size=64, num_classes=10, norm_embed=True,
+              sharew=True, dtype=jnp.float32, attn_type="longformerhand")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    vs = m.init({"params": jax.random.PRNGKey(0)}, x)
+    assert "rpe_cache" not in vs  # init must NOT create the cache
+
+    def table_grad(variables):
+        def loss(p):
+            v = dict(variables)
+            v["params"] = p
+            return jnp.sum(m.apply(v, x, deterministic=True) ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        t = g["stage3_block0_attn"]["attn"][
+            "local_relative_position_bias_table"
+        ]
+        return float(jnp.abs(t).sum())
+
+    assert table_grad(vs) > 0  # grads flow without a cache
+
+    vs2 = precompute_rpe_cache(m, vs, x)
+    assert "rpe_cache" in vs2
+    base = m.apply(vs, x, deterministic=True)
+    cached = m.apply(vs2, x, deterministic=True)
+    assert float(jnp.max(jnp.abs(base - cached))) == 0.0
+
+    # rebuilding after a parameter change must change the cache
+    p2 = jax.tree_util.tree_map(lambda a: a + 0.01, vs["params"])
+    vs3 = precompute_rpe_cache(m, {"params": p2}, x)
+    old = jax.tree_util.tree_leaves(vs2["rpe_cache"])[0]
+    new = jax.tree_util.tree_leaves(vs3["rpe_cache"])[0]
+    assert float(jnp.max(jnp.abs(new - old))) > 0

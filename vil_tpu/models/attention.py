@@ -254,11 +254,32 @@ class FullAttention(nn.Module):
         )(x)
 
         bias_params = None
+        bias_cached = None
         if self.rpe:
             assert N == self.nglo + self.wx * self.wy, (
                 "For relative position, N != nglo + wx*wy"
             )
             bias_params = self._rpe_params(H)
+            # INFERENCE bias cache (r5): XLA does not hoist the
+            # loop-invariant (H, N, N) assembly out of serving loops — at
+            # 1024² it is ~110 of the 175 ms forward. models.
+            # precompute_rpe_cache() populates an optional 'rpe_cache'
+            # collection once; deterministic applies then reuse it.
+            # Training (deterministic=False) ignores the cache: a cached
+            # bias would silently detach the table gradients.
+            # never during init: init makes EVERY collection mutable, and a
+            # cache created there would silently serve the init-time bias
+            # to any later deterministic apply (e.g. eval mid-training)
+            if deterministic and not self.is_initializing() and (
+                self.has_variable("rpe_cache", "bias")
+                or self.is_mutable_collection("rpe_cache")
+            ):
+                bias_cached = self.variable(
+                    "rpe_cache", "bias",
+                    lambda: _assemble_full_rpe_bias(
+                        self.wx, self.wy, self.nglo, H, *bias_params
+                    ),
+                ).value
 
         def _bias():
             """Assembled only on the branches that consume it — the fused
@@ -268,6 +289,8 @@ class FullAttention(nn.Module):
             apply, interpret-mode debugging)."""
             if bias_params is None:
                 return None
+            if bias_cached is not None:
+                return bias_cached
             return _assemble_full_rpe_bias(
                 self.wx, self.wy, self.nglo, H, *bias_params
             )
@@ -310,6 +333,12 @@ class FullAttention(nn.Module):
                     (tok, tok, tok, P(self.tp_axis, None, None)), tok,
                     (q_tok * scale, k_tok, v_tok, bias_f),
                 )
+            elif self.rpe and bias_cached is not None:
+                # precomputed-cache inference path: the assembled bias is a
+                # plain input (no VJP trick needed without grads)
+                fused = full_attention.make_fused_full_attention(H)
+                out = fused(q_tok * scale, k_tok, v_tok,
+                            bias_cached.astype(jnp.float32))
             elif self.rpe:
                 # RPE: the custom VJP encloses the bias ASSEMBLY — residuals
                 # are the table params, and the backward rebuilds the
